@@ -1,0 +1,273 @@
+"""Vectorized numpy geometry kernels (the GEOS replacement).
+
+No shapely/GEOS exists in this environment, so every per-feature
+geometry operation the reference delegates to C libraries
+(point-in-polygon and clipping via shapely prepared geometries —
+reference tabular.py:259-327; centroid via OGR — tabular.py:333) is a
+batched numpy kernel here, called only from Arrow-vectorized pandas
+UDFs.  Never per-row Python.
+
+Clip semantics contract (reference tabular.py):
+  - points: kept iff strictly inside the AOI (prepared.contains,
+    tabular.py:271-275),
+  - lines: dropped unless intersecting; clipped unless contained
+    (tabular.py:294-300),
+  - polygons: same rule (tabular.py:321-327).
+
+v1 exactness policy (documented deviation, see SURVEY.md §7 hard parts):
+point-in-polygon is exact for arbitrary polygons-with-holes; line and
+polygon *cutting* is exact against convex AOIs (Cyrus–Beck /
+Sutherland–Hodgman); for concave AOIs the engine still drops
+non-intersecting features exactly but keeps boundary-crossing
+geometries uncut.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# point in polygon (even-odd ray cast), vectorized over points
+# ---------------------------------------------------------------------------
+
+def points_in_rings(pts, rings):
+    """pts: (N,2); rings: list of (M,2) closed-or-open rings (even-odd,
+    so holes are just additional rings).  Returns bool (N,)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    px, py = pts[:, 0], pts[:, 1]
+    inside = np.zeros(len(pts), dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        # edges are few (AOI); points are many — loop edges, vectorize points
+        for i in range(len(x0)):
+            cond = (y0[i] > py) != (y1[i] > py)
+            if not cond.any():
+                continue
+            xs = (x1[i] - x0[i]) * (py - y0[i]) / (y1[i] - y0[i]) + x0[i]
+            inside ^= cond & (px < xs)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# segment/rect intersection (cell-cover classification)
+# ---------------------------------------------------------------------------
+
+def segment_intersects_rect(ring, rect):
+    """For each edge of `ring`, does it intersect the axis-aligned rect?
+    (Cohen–Sutherland outcode test, vectorized over edges.)"""
+    x0r, y0r, x1r, y1r = rect
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[0]])
+    ax, ay, bx, by = r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+
+    def outcode(x, y):
+        code = np.zeros(len(x), dtype=np.int64)
+        code |= np.where(x < x0r, 1, 0)
+        code |= np.where(x > x1r, 2, 0)
+        code |= np.where(y < y0r, 4, 0)
+        code |= np.where(y > y1r, 8, 0)
+        return code
+
+    ca, cb = outcode(ax, ay), outcode(bx, by)
+    trivially_out = (ca & cb) != 0
+    trivially_in = (ca == 0) | (cb == 0)
+    result = trivially_in & ~trivially_out
+    maybe = ~trivially_out & ~trivially_in
+    if maybe.any():
+        # exact segment-vs-rect-edge tests for the ambiguous ones
+        idx = np.nonzero(maybe)[0]
+        corners = np.array(
+            [[x0r, y0r], [x1r, y0r], [x1r, y1r], [x0r, y1r], [x0r, y0r]]
+        )
+        for i in idx:
+            p, q = np.array([ax[i], ay[i]]), np.array([bx[i], by[i]])
+            for j in range(4):
+                if _segments_cross(p, q, corners[j], corners[j + 1]):
+                    result[i] = True
+                    break
+    return result
+
+
+def _segments_cross(p, q, a, b):
+    def orient(o, u, v):
+        return (u[0] - o[0]) * (v[1] - o[1]) - (u[1] - o[1]) * (v[0] - o[0])
+
+    d1, d2 = orient(p, q, a), orient(p, q, b)
+    d3, d4 = orient(a, b, p), orient(a, b, q)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# convex clipping
+# ---------------------------------------------------------------------------
+
+def _ensure_ccw(poly):
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    if signed_area(poly) < 0:
+        poly = poly[::-1]
+    return poly
+
+
+def is_convex(poly):
+    p = _ensure_ccw(poly)
+    n = len(p)
+    sign = 0
+    for i in range(n):
+        a, b, c = p[i], p[(i + 1) % n], p[(i + 2) % n]
+        cr = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def clip_polyline_convex(coords, clip_poly):
+    """Cyrus–Beck parametric clip of a polyline against a convex CCW
+    polygon.  Returns a list of (K,2) arrays — the kept pieces
+    (MultiLineString semantics, matching the reference comment at
+    tabular.py:285-288 that clipped ways may become multilinestrings)."""
+    clip = _ensure_ccw(clip_poly)
+    n = len(clip)
+    # inward edge normals
+    edges = np.roll(clip, -1, axis=0) - clip
+    normals = np.stack([-edges[:, 1], edges[:, 0]], axis=1)  # left normal (CCW ⇒ inward)
+
+    coords = np.asarray(coords, dtype=np.float64)
+    pieces = []
+    cur = []
+    for i in range(len(coords) - 1):
+        p0, p1 = coords[i], coords[i + 1]
+        d = p1 - p0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for j in range(n):
+            w = p0 - clip[j]
+            num = -normals[j].dot(w)
+            den = normals[j].dot(d)
+            if den == 0.0:
+                # parallel to edge: reject iff fully on the outside
+                # (num = -n·w, so outside ⇔ n·w < 0 ⇔ num > 0)
+                if num > 0.0:
+                    ok = False
+                    break
+            else:
+                t = num / den
+                if den > 0.0:
+                    t0 = max(t0, t)
+                else:
+                    t1 = min(t1, t)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = []
+            continue
+        a = p0 + t0 * d
+        b = p0 + t1 * d
+        if not cur:
+            cur = [a, b]
+        elif np.allclose(cur[-1], a):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = [a, b]
+        if t1 < 1.0:  # exits the clip region: close the piece
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = []
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def clip_ring_convex(ring, clip_poly):
+    """Sutherland–Hodgman clip of one ring against a convex CCW polygon.
+    Returns (K,2) array (possibly empty)."""
+    clip = _ensure_ccw(clip_poly)
+    out = _ensure_ccw(ring)
+    n = len(clip)
+    for j in range(n):
+        if len(out) == 0:
+            return np.empty((0, 2))
+        a, b = clip[j], clip[(j + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - a[1]) - ey * (px - a[0])  # >0 ⇒ inside (left of edge)
+        keep = side >= 0
+        nxt = np.roll(keep, -1)
+        res = []
+        for i in range(len(out)):
+            p = out[i]
+            q = out[(i + 1) % len(out)]
+            if keep[i]:
+                res.append(p)
+            if keep[i] != nxt[i]:
+                sp = side[i]
+                sq = side[(i + 1) % len(out)]
+                t = sp / (sp - sq)
+                res.append(p + t * (q - p))
+        out = np.asarray(res) if res else np.empty((0, 2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def signed_area(ring):
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_centroid(ring):
+    """Shoelace-weighted centroid (reference uses OGR Centroid(),
+    tabular.py:333)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = float(((x + xn) * cross).sum() / (6.0 * a))
+    cy = float(((y + yn) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def polyline_length_m(coords):
+    """Haversine length in meters of a lon/lat polyline."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return 0.0
+    return float(haversine_m(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]).sum())
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Vectorized haversine distance in meters."""
+    R = 6371008.8
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))

@@ -1,0 +1,306 @@
+"""Geometry assembly: node → way → multipolygon via DataFrame joins.
+
+The reference delegates all entity stitching to libosmium's node
+location store and area assembler (reference cmd.py:58
+``locations=True, idx='sparse_file_array'``; area callbacks
+tabular.py:308-339).  Here the same capabilities are explicit,
+shuffle-aware DataFrame operations:
+
+  way coords    = way_refs ⋈ nodes on node_id,
+                  then groupBy(way_id) + sort_array(collect_list)
+  multipolygons = members ⋈ way coords, ring-stitching per relation in
+                  one applyInPandas (numpy endpoint chaining)
+
+Scale notes (100 TB design):
+  - way_refs ⋈ nodes is the big shuffle; both sides hash-partition on
+    node_id.  OSM-like data has no hot node_id (a node is referenced by
+    a handful of ways), so no salting needed HERE — density skew lives
+    in cell space and is handled at tile/clip time (operators/tiles.py).
+  - collect_list per way is bounded (real OSM caps ways at 2000 nodes),
+    so the agg cannot blow an executor.
+  - incomplete ways (dangling node ref) are dropped via a count check —
+    the distributed equivalent of the reference's "Incomplete way" skip
+    (tabular.py:305-306) — and surfaced as a metric, not a print.
+
+Feature frame schema (packed coordinates, numpy-sliceable in UDFs):
+  osm_id long        -- negative for relation-derived areas (tabular.py:313)
+  src string         -- node|way|relation
+  geom_type string   -- point|line|polygon
+  tags map<string,string>
+  xs, ys array<double>
+  ring_offsets array<int>  -- polygon ring boundaries into xs/ys
+  part_offsets array<int>  -- multipolygon part boundaries into rings
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.compile import closed_way_is_polygon_col
+
+FEATURE_SCHEMA = (
+    "osm_id long, src string, geom_type string, tags map<string,string>, "
+    "xs array<double>, ys array<double>, "
+    "ring_offsets array<int>, part_offsets array<int>"
+)
+
+
+def point_features(nodes: DataFrame) -> DataFrame:
+    """Tagged nodes → point features (reference tabular.py:263-277;
+    untagged skipped per tabular.py:264)."""
+    return nodes.where(F.size("tags") > 0).select(
+        F.col("node_id").alias("osm_id"),
+        F.lit("node").alias("src"),
+        F.lit("point").alias("geom_type"),
+        "tags",
+        F.array("lon").alias("xs"),
+        F.array("lat").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+    )
+
+
+def way_coords(way_refs: DataFrame, nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Assemble every way's coordinate arrays (the location-index join).
+
+    Inner join drops dangling refs; a way whose assembled count is less
+    than its span count is incomplete and excluded (with `complete`
+    flag retained so callers can count the dropouts)."""
+    joined = way_refs.join(
+        nodes.select("node_id", "lon", "lat"), "node_id", "inner"
+    )
+    agg = joined.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "lon", "lat"))).alias("pts")
+    )
+    return (
+        agg.join(ways, "way_id", "inner")
+        .select(
+            "way_id",
+            "tags",
+            "is_closed",
+            (F.size("pts") == F.col("n_refs")).alias("complete"),
+            F.transform("pts", lambda p: p.lon).alias("xs"),
+            F.transform("pts", lambda p: p.lat).alias("ys"),
+        )
+    )
+
+
+def line_features(wcoords: DataFrame) -> DataFrame:
+    """Open ways + closed ways WITHOUT area tags → line features
+    (reference tabular.py:279-283: closed polygon-tagged ways are
+    handled by area())."""
+    is_poly = closed_way_is_polygon_col("tags")
+    return (
+        wcoords.where(F.col("complete") & (F.size("tags") > 0))
+        .where(~(F.col("is_closed") & is_poly))
+        .select(
+            F.col("way_id").alias("osm_id"),
+            F.lit("way").alias("src"),
+            F.lit("line").alias("geom_type"),
+            "tags",
+            "xs",
+            "ys",
+            F.array(F.lit(0), F.size("xs")).cast("array<int>").alias("ring_offsets"),
+            F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        )
+    )
+
+
+def closed_way_polygon_features(wcoords: DataFrame) -> DataFrame:
+    """Closed ways WITH area tags → single-ring polygons, positive
+    osm_id (reference tabular.py:308-313 from_way branch)."""
+    is_poly = closed_way_is_polygon_col("tags")
+    return (
+        wcoords.where(F.col("complete") & (F.size("tags") > 0))
+        .where(F.col("is_closed") & is_poly)
+        .select(
+            F.col("way_id").alias("osm_id"),
+            F.lit("way").alias("src"),
+            F.lit("polygon").alias("geom_type"),
+            "tags",
+            "xs",
+            "ys",
+            F.array(F.lit(0), F.size("xs")).cast("array<int>").alias("ring_offsets"),
+            F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multipolygon relation assembly (applyInPandas ring stitcher)
+# ---------------------------------------------------------------------------
+
+_ASSEMBLY_SCHEMA = (
+    "rel_id long, tags map<string,string>, "
+    "xs array<double>, ys array<double>, "
+    "ring_offsets array<int>, part_offsets array<int>, valid boolean"
+)
+
+
+def _chain_rings(segments):
+    """Chain open segments into closed rings by endpoint matching.
+    segments: list of (N,2) arrays.  Returns (rings, ok)."""
+    segs = [np.asarray(s) for s in segments if len(s) >= 2]
+    rings = []
+    # already-closed segments are rings on their own
+    open_segs = []
+    for s in segs:
+        if len(s) >= 4 and np.array_equal(s[0], s[-1]):
+            rings.append(s[:-1])
+        else:
+            open_segs.append(s)
+    while open_segs:
+        cur = open_segs.pop(0)
+        progress = True
+        while progress and not np.array_equal(cur[0], cur[-1]):
+            progress = False
+            for i, s in enumerate(open_segs):
+                if np.array_equal(s[0], cur[-1]):
+                    cur = np.vstack([cur, s[1:]])
+                elif np.array_equal(s[-1], cur[-1]):
+                    cur = np.vstack([cur, s[::-1][1:]])
+                elif np.array_equal(s[-1], cur[0]):
+                    cur = np.vstack([s, cur[1:]])
+                elif np.array_equal(s[0], cur[0]):
+                    cur = np.vstack([s[::-1], cur[1:]])
+                else:
+                    continue
+                open_segs.pop(i)
+                progress = True
+                break
+        if len(cur) >= 4 and np.array_equal(cur[0], cur[-1]):
+            rings.append(cur[:-1])
+        else:
+            return rings, False  # unclosable ring → invalid area
+    return rings, True
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One relation: stitch member ways into outer/inner rings.
+    numpy endpoint chaining; rejected relations come back valid=False
+    (the reference's 'Invalid area' skip, tabular.py:338-339)."""
+    from ..functions.geomkernel import points_in_rings
+
+    rel_id = int(pdf["rel_id"].iloc[0])
+    tags = pdf["tags"].iloc[0]
+    pdf = pdf.sort_values("member_seq")
+
+    def segs(role):
+        rows = pdf[pdf["role"] == role]
+        return [
+            np.stack([np.asarray(r.xs), np.asarray(r.ys)], axis=1)
+            for r in rows.itertuples()
+            if r.xs is not None
+        ]
+
+    outers, ok_o = _chain_rings(segs("outer"))
+    inners, ok_i = _chain_rings(segs("inner"))
+    valid = ok_o and ok_i and len(outers) > 0
+
+    if not valid:
+        return pd.DataFrame(
+            [
+                {
+                    "rel_id": rel_id,
+                    "tags": tags,
+                    "xs": [],
+                    "ys": [],
+                    "ring_offsets": [],
+                    "part_offsets": [],
+                    "valid": False,
+                }
+            ]
+        )
+
+    # assign each inner ring to the outer that contains its first vertex
+    parts = [[o] for o in outers]
+    for inner in inners:
+        placed = False
+        for pi, o in enumerate(outers):
+            if points_in_rings(inner[:1], [o])[0]:
+                parts[pi].append(inner)
+                placed = True
+                break
+        if not placed:
+            parts[0].append(inner)
+
+    xs, ys, ring_offsets, part_offsets = [], [], [0], [0]
+    for part in parts:
+        for ring in part:
+            closed = np.vstack([ring, ring[0]])
+            xs.extend(closed[:, 0].tolist())
+            ys.extend(closed[:, 1].tolist())
+            ring_offsets.append(len(xs))
+        part_offsets.append(len(ring_offsets) - 1)
+
+    return pd.DataFrame(
+        [
+            {
+                "rel_id": rel_id,
+                "tags": tags,
+                "xs": xs,
+                "ys": ys,
+                "ring_offsets": ring_offsets,
+                "part_offsets": part_offsets,
+                "valid": True,
+            }
+        ]
+    )
+
+
+def relation_polygon_features(
+    members: DataFrame, wcoords: DataFrame, keep_invalid: bool = False
+) -> DataFrame:
+    """type=multipolygon relations → multipolygon features with
+    NEGATIVE osm_id (reference tabular.py:313).
+
+    members ⋈ way coords (way geometry reused from the shared
+    assembly), then one applyInPandas over rel_id groups.  Relation
+    sizes are tiny (a handful of member ways), so the grouped pandas
+    stage is narrow; the heavy lifting stayed in the prior joins."""
+    joined = members.join(
+        wcoords.select("way_id", "complete", "xs", "ys"), "way_id", "left"
+    ).where(F.col("complete"))
+
+    assembled = joined.groupBy("rel_id").applyInPandas(
+        lambda pdf: _assemble_group(pdf), schema=_ASSEMBLY_SCHEMA
+    )
+    out = assembled if keep_invalid else assembled.where(F.col("valid"))
+    return out.where(F.size("tags") > 0).select(
+        (-F.col("rel_id")).alias("osm_id"),
+        F.lit("relation").alias("src"),
+        F.lit("polygon").alias("geom_type"),
+        "tags",
+        "xs",
+        "ys",
+        "ring_offsets",
+        "part_offsets",
+    )
+
+
+def assemble_features(docs_meta: DataFrame) -> DataFrame:
+    """Full assembly: documents-with-meta → unified feature frame.
+
+    The relation path additionally requires polygon routing on tags
+    (closed_way_is_polygon gate at area time, reference tabular.py:310-311),
+    applied here so the relation assembler only runs for area-tagged
+    relations."""
+    from ..sources import decode
+
+    nodes = decode.nodes_table(docs_meta)
+    ways = decode.ways_table(docs_meta)
+    way_refs = decode.way_refs_table(docs_meta)
+    members = decode.rel_members_table(docs_meta)
+
+    wcoords = way_coords(way_refs, nodes, ways)
+
+    pts = point_features(nodes)
+    lines = line_features(wcoords)
+    way_polys = closed_way_polygon_features(wcoords)
+    rel_polys = relation_polygon_features(
+        members.where(closed_way_is_polygon_col("tags")), wcoords
+    )
+    return pts.unionByName(lines).unionByName(way_polys).unionByName(rel_polys)

@@ -1,0 +1,236 @@
+"""Span decoder: interleaved documents → typed entity DataFrames.
+
+The reference gets pre-parsed entities from libosmium callbacks
+(tabular.py:263,279,308); this engine's scan is a parquet/Iceberg read
+of the documents table followed by a *pure-Column* decode projection —
+`filter`/`transform`/`map_from_entries` higher-order functions, fully
+inside Catalyst/codegen.  The only Python crossing is the vectorized
+WKB-point hex decoder (numpy frombuffer over a whole Arrow batch).
+
+Loss-free contract: ``reencode_spans`` reconstructs the span sequence
+from the decoded columns; per-row equality with the original array
+(kind, text, media_ref, order) is the input_hint invariant, tested in
+tests/test_synth_decode.py.
+"""
+
+from __future__ import annotations
+
+import binascii
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _spans_sorted(spans=None):
+    """Order-restoring sort; parquet preserves array order but offsets
+    are the authoritative sequence (input_hint)."""
+    if spans is None:
+        spans = F.col("spans")
+    return F.array_sort(
+        spans,
+        lambda a, b: F.when(a.offset < b.offset, -1)
+        .when(a.offset > b.offset, 1)
+        .otherwise(0),
+    )
+
+
+def with_entity_meta(docs: DataFrame) -> DataFrame:
+    """Add src ('node'|'way'|'rel'), orig_id (long), tags (map)."""
+    spans = _spans_sorted()
+    tag_spans = F.filter(spans, lambda s: s.kind == F.lit("tag"))
+    tags = F.map_from_entries(
+        F.transform(
+            tag_spans,
+            lambda s: F.struct(
+                F.split_part(s.text, F.lit("="), F.lit(1)).alias("key"),
+                # value may itself contain '=': strip only "key=" prefix
+                F.substring(
+                    s.text, F.length(F.split_part(s.text, F.lit("="), F.lit(1))) + 2, 2147483647
+                ).alias("value"),
+            ),
+        )
+    )
+    return docs.select(
+        "*",
+        F.split_part("doc_id", F.lit("/"), F.lit(1)).alias("src"),
+        F.split_part("doc_id", F.lit("/"), F.lit(2)).cast("long").alias("orig_id"),
+        tags.alias("tags"),
+    )
+
+
+_UDF_CACHE = {}
+
+
+def wkb_point_decode(col):
+    """Vectorized WKB POINT (little-endian) hex → struct<lon,lat>.  One
+    unhexlify over the concatenated batch, zero per-row Python.
+    (pandas_udf is built lazily: pyspark 4 needs an active session to
+    parse the DDL return type.)"""
+    if "decode" not in _UDF_CACHE:
+
+        @pandas_udf("struct<lon:double,lat:double>")
+        def _decode(hex_s: pd.Series) -> pd.DataFrame:
+            n = len(hex_s)
+            if n == 0:
+                return pd.DataFrame({"lon": [], "lat": []})
+            isnull = hex_s.isna().to_numpy()
+            filled = hex_s.fillna("0" * 42)
+            joined = "".join(filled.tolist())
+            raw = np.frombuffer(binascii.unhexlify(joined), dtype=np.uint8).reshape(n, 21)
+            lon = raw[:, 5:13].copy().view("<f8").ravel()
+            lat = raw[:, 13:21].copy().view("<f8").ravel()
+            lon = np.where(isnull, np.nan, lon)
+            lat = np.where(isnull, np.nan, lat)
+            return pd.DataFrame({"lon": lon, "lat": lat})
+
+        _UDF_CACHE["decode"] = _decode
+    return _UDF_CACHE["decode"](col)
+
+
+def nodes_table(docs_meta: DataFrame) -> DataFrame:
+    """(node_id, tags, lon, lat) — every node, tagged or not (untagged
+    nodes still anchor way geometry, reference location index)."""
+    media = F.try_element_at(
+        F.filter(_spans_sorted(), lambda s: s.kind == F.lit("media")), F.lit(1)
+    )
+    df = docs_meta.where(F.col("src") == "node").select(
+        F.col("orig_id").alias("node_id"),
+        "tags",
+        wkb_point_decode(media.media_ref).alias("pt"),
+    )
+    return df.select("node_id", "tags", F.col("pt.lon").alias("lon"), F.col("pt.lat").alias("lat"))
+
+
+def way_refs_table(docs_meta: DataFrame) -> DataFrame:
+    """(way_id, seq, node_id) — the explicit form of osmium's node
+    location index (reference cmd.py:58 locations=True)."""
+    refs = F.filter(_spans_sorted(), lambda s: s.kind == F.lit("ref"))
+    ref_ids = F.transform(
+        refs, lambda s: F.split_part(s.media_ref, F.lit("/"), F.lit(2)).cast("long")
+    )
+    return (
+        docs_meta.where(F.col("src") == "way")
+        .select(F.col("orig_id").alias("way_id"), F.posexplode(ref_ids).alias("seq", "node_id"))
+    )
+
+
+def ways_table(docs_meta: DataFrame) -> DataFrame:
+    """(way_id, tags, n_refs, is_closed)."""
+    refs = F.filter(_spans_sorted(), lambda s: s.kind == F.lit("ref"))
+    first = F.try_element_at(refs, F.lit(1)).media_ref
+    last = F.try_element_at(refs, F.lit(-1)).media_ref
+    return docs_meta.where(F.col("src") == "way").select(
+        F.col("orig_id").alias("way_id"),
+        "tags",
+        F.size(refs).alias("n_refs"),
+        ((F.size(refs) >= 4) & (first == last)).alias("is_closed"),
+    )
+
+
+def rel_members_table(docs_meta: DataFrame) -> DataFrame:
+    """(rel_id, member_seq, role, way_id) for type=multipolygon relations."""
+    members = F.filter(_spans_sorted(), lambda s: s.kind == F.lit("member"))
+    entries = F.transform(
+        members,
+        lambda s: F.struct(
+            s.text.alias("role"),
+            F.split_part(s.media_ref, F.lit("/"), F.lit(2)).cast("long").alias("way_id"),
+        ),
+    )
+    return (
+        docs_meta.where(
+            (F.col("src") == "rel")
+            & (F.try_element_at("tags", F.lit("type")) == "multipolygon")
+        )
+        .select(F.col("orig_id").alias("rel_id"), "tags", F.posexplode(entries).alias("member_seq", "m"))
+        .select("rel_id", "tags", "member_seq", F.col("m.role").alias("role"), F.col("m.way_id").alias("way_id"))
+    )
+
+
+def rels_table(docs_meta: DataFrame) -> DataFrame:
+    return docs_meta.where(F.col("src") == "rel").select(
+        F.col("orig_id").alias("rel_id"), "tags"
+    )
+
+
+def wkb_point_encode(lon_col, lat_col):
+    """Inverse of wkb_point_decode — vectorized lon/lat → WKB hex."""
+    if "encode" not in _UDF_CACHE:
+
+        @pandas_udf("string")
+        def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            from ..sources.synth import point_wkb_hex
+
+            return pd.Series(
+                point_wkb_hex(lon.to_numpy(np.float64), lat.to_numpy(np.float64)),
+                dtype="object" if len(lon) == 0 else None,
+            )
+
+        _UDF_CACHE["encode"] = _encode
+    return _UDF_CACHE["encode"](lon_col, lat_col)
+
+
+def reencode_spans(docs_meta: DataFrame) -> DataFrame:
+    """Rebuild each document's span sequence FROM the decoded typed
+    columns (tags map, ref/member targets, re-encoded WKB from decoded
+    lon/lat) to prove decode is loss-free — the input_hint's per-row
+    span-sequence (kind, text, media_ref, order) equality invariant.
+
+    Relies on Spark maps preserving entry order (they are stored as
+    paired arrays), which map_from_entries/map_entries guarantee."""
+    spans = _spans_sorted()
+    tag_spans = F.transform(
+        F.map_entries("tags"),
+        lambda e: F.struct(
+            F.lit("tag").alias("kind"),
+            F.concat(e.key, F.lit("="), e.value).alias("text"),
+            F.lit("").alias("media_ref"),
+        ),
+    )
+    refs = F.filter(spans, lambda s: s.kind == F.lit("ref"))
+    ref_spans = F.transform(
+        F.transform(refs, lambda s: F.split_part(s.media_ref, F.lit("/"), F.lit(2)).cast("long")),
+        lambda nid: F.struct(
+            F.lit("ref").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("node/"), nid.cast("string")).alias("media_ref"),
+        ),
+    )
+    members = F.filter(spans, lambda s: s.kind == F.lit("member"))
+    member_spans = F.transform(
+        members,
+        lambda s: F.struct(
+            F.lit("member").alias("kind"),
+            s.text.alias("text"),
+            F.concat(
+                F.lit("way/"),
+                F.split_part(s.media_ref, F.lit("/"), F.lit(2)).cast("long").cast("string"),
+            ).alias("media_ref"),
+        ),
+    )
+    media = F.try_element_at(F.filter(spans, lambda s: s.kind == F.lit("media")), F.lit(1))
+    pt = wkb_point_decode(media.media_ref)
+    media_spans = F.when(
+        F.col("src") == "node",
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("point").alias("text"),
+                wkb_point_encode(pt.lon, pt.lat).alias("media_ref"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string>>"))
+
+    rebuilt = F.concat(tag_spans, ref_spans, member_spans, media_spans)
+    original = F.transform(
+        spans,
+        lambda s: F.struct(
+            s.kind.alias("kind"), s.text.alias("text"), s.media_ref.alias("media_ref")
+        ),
+    )
+    return docs_meta.select(
+        "doc_id", original.alias("original"), rebuilt.alias("rebuilt")
+    )

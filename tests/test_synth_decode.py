@@ -1,0 +1,81 @@
+"""Synthesizer determinism + span decode correctness + the per-row
+span-sequence equality invariant (input_hint contract)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm_export_tool_python_spark.sources import decode, synth
+
+
+def _docs(spark, **kw):
+    return synth.synthesize(spark, n_nodes=400, n_ways=120, n_rels=12, **kw)
+
+
+def test_partition_count_invariance(spark):
+    a = _docs(spark, partitions=2).orderBy("doc_id").collect()
+    b = _docs(spark, partitions=7).orderBy("doc_id").collect()
+    assert len(a) == len(b) == 532
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
+def test_tags_decode_matches_generator(spark):
+    docs = decode.with_entity_meta(_docs(spark))
+    rows = docs.where(F.col("src") == "node").select("orig_id", "tags").collect()
+    oracle_tags = {
+        i: dict(t)
+        for i, t in zip(range(400), synth.entity_tags(np.arange(400), salt_base=100))
+    }
+    assert len(rows) == 400
+    for r in rows:
+        assert dict(r["tags"]) == oracle_tags[r["orig_id"]], r["orig_id"]
+
+
+def test_node_coords_decode(spark):
+    docs = decode.with_entity_meta(_docs(spark))
+    nodes = decode.nodes_table(docs).orderBy("node_id").collect()
+    lon, lat = synth.node_lonlat(np.arange(400))
+    for r in nodes:
+        assert abs(r["lon"] - lon[r["node_id"]]) < 1e-12
+        assert abs(r["lat"] - lat[r["node_id"]]) < 1e-12
+
+
+def test_span_sequence_equality_invariant(spark):
+    """decode → re-encode must reproduce (kind, text, media_ref, order)
+    for every row."""
+    docs = decode.with_entity_meta(_docs(spark))
+    cmp = decode.reencode_spans(docs)
+    bad = cmp.where(F.col("original") != F.col("rebuilt"))
+    assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_way_refs_and_closedness(spark):
+    docs = decode.with_entity_meta(_docs(spark))
+    ways = decode.ways_table(docs)
+    refs = decode.way_refs_table(docs)
+    assert ways.count() == 120
+    # seq is dense from 0 per way
+    agg = refs.groupBy("way_id").agg(
+        F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n")
+    )
+    assert agg.where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)).count() == 0
+    # closed ways: first ref == last ref
+    closed_ids = {r["way_id"] for r in ways.where("is_closed").collect()}
+    by_way = {}
+    for r in refs.collect():
+        by_way.setdefault(r["way_id"], {})[r["seq"]] = r["node_id"]
+    for wid, m in by_way.items():
+        seq = [m[i] for i in range(len(m))]
+        assert (seq[0] == seq[-1] and len(seq) >= 4) == (wid in closed_ids)
+
+
+def test_members_decode(spark):
+    docs = decode.with_entity_meta(_docs(spark))
+    members = decode.rel_members_table(docs)
+    assert members.where(~F.col("role").isin("outer", "inner")).count() == 0
+    # every relation has exactly one outer (per generator)
+    outer_counts = (
+        members.where(F.col("role") == "outer").groupBy("rel_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in outer_counts)
+    assert len(outer_counts) == 12
