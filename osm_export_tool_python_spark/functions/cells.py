@@ -260,7 +260,8 @@ def cover_at_zoom(cover, zoom):
 
 def cell_udf(zoom):
     """pandas_udf (lon: double, lat: double) -> cell id long."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401 — module-scope name needed by typehints
+    globals()["pd"] = pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -1,0 +1,147 @@
+"""The end-to-end export pipeline — the engine's equivalent of the
+reference CLI (cmd.py:10-66):
+
+    docs table → decode → assemble → any-theme prefilter → AOI clip
+    → theme fan-out → per-format sinks → manifest + metrics
+
+One logical plan end to end: Catalyst sees the whole pipeline, pushes
+the decode projections into the scan, and the themed frame is persisted
+once and reused by every sink (the reference's single-geometry-build
+guarantee across outputs, tabular.py:269-275)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ..operators import assemble
+from ..operators.clip import AOI, clip_features
+from ..operators.themes import prefilter, theme_fanout, theme_output
+from ..operators.tiles import tile_features
+from ..sources import decode
+from .manifest import ExportManifest
+from .sinks import launder_name, make_filename, wkt_column, kml_geometry_column
+
+TABULAR_FORMATS = ("gpkg", "shp", "kml")
+
+
+def export(
+    spark,
+    docs: DataFrame,
+    mapping,
+    out_dir: str,
+    aoi_rings=None,
+    formats=("gpkg",),
+    polygon_centroid: bool = False,
+    tile_zooms=None,
+    resume: bool = True,
+) -> dict:
+    """Run a themed export; returns the manifest payload."""
+    manifest = ExportManifest(out_dir)
+    if resume:
+        manifest.load_done_entries()
+
+    meta = decode.with_entity_meta(docs)
+    feats = assemble.assemble_features(meta)
+    feats = prefilter(feats, mapping)
+
+    if aoi_rings is not None:
+        aoi = AOI(aoi_rings)
+        feats = clip_features(feats, aoi)
+
+    themed = theme_fanout(feats, mapping).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        manifest.add_metric("themed_features", themed.count())
+
+        for fmt in formats:
+            if fmt in TABULAR_FORMATS:
+                _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centroid)
+            elif fmt == "tiles":
+                _write_tiles(spark, themed, out_dir, tile_zooms or (0, 8), manifest)
+            else:
+                raise ValueError("unknown format %r" % fmt)
+
+        for r in (
+            themed.groupBy("theme", "geom_type").agg(F.count("*").alias("n")).collect()
+        ):
+            manifest.add_metric(
+                "rows/%s/%s" % (r["theme"], r["geom_type"]), r["n"]
+            )
+    finally:
+        themed.unpersist()
+    return manifest.write()
+
+
+def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centroid):
+    for theme in mapping.themes:
+        base = theme_output(themed, theme, polygon_centroid=polygon_centroid)
+        if fmt == "gpkg":
+            # one root, one layer dir per theme, mixed geometry
+            # (reference Geopackage, tabular.py:146-196)
+            part_key = "gpkg/%s" % theme.name
+            path = os.path.join(out_dir, "gpkg", make_filename(theme.name))
+            if manifest.is_done(part_key):
+                continue
+            df = base.select("*", wkt_column()).drop(
+                "xs", "ys", "ring_offsets", "part_offsets"
+            )
+            df.write.mode("overwrite").parquet(path)
+            rows = spark.read.parquet(path).count()
+            info = dict(format="gpkg", theme=theme.name, path=path, rows=rows)
+            manifest.add(**info)
+            manifest.mark_done(part_key, **info)
+        else:
+            # per (theme, geomtype) datasets (Shapefile/Kml writers,
+            # tabular.py:86-144 / :32-84)
+            for gt in theme.geom_type_names():
+                part_key = "%s/%s/%s" % (fmt, theme.name, gt)
+                path = os.path.join(
+                    out_dir, fmt, "%s_%s" % (make_filename(theme.name), gt)
+                )
+                if manifest.is_done(part_key):
+                    continue
+                df = base.where(F.col("geom_type") == gt)
+                if fmt == "shp":
+                    rename = {
+                        k: launder_name(k)
+                        for k in theme.keys
+                        if launder_name(k) != k
+                    }
+                    df = df.select(
+                        [F.col(c).alias(rename.get(c, c)) for c in df.columns]
+                    ).select("*", wkt_column()).drop(
+                        "xs", "ys", "ring_offsets", "part_offsets"
+                    )
+                else:  # kml
+                    df = df.select("*", kml_geometry_column()).drop(
+                        "xs", "ys", "ring_offsets", "part_offsets"
+                    )
+                df.write.mode("overwrite").parquet(path)
+                rows = spark.read.parquet(path).count()
+                info = dict(format=fmt, theme=theme.name, path=path, rows=rows, geom_type=gt)
+                manifest.add(**info)
+                manifest.mark_done(part_key, **info)
+
+
+def _write_tiles(spark, themed, out_dir, zooms, manifest):
+    part_key = "tiles/z%d-%d" % zooms
+    path = os.path.join(out_dir, "tiles")
+    if manifest.is_done(part_key):
+        return
+    # tile features once over the deduped feature set (a feature in
+    # many themes packs once per tile, like the reference's mbtiles
+    # which is theme-independent raster fetch)
+    uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
+    tf = tile_features(uniq, zooms[0], zooms[1])
+    tf.repartitionByRange(max(tf.rdd.getNumPartitions() // 2, 1), "z", "x", "y").write.mode(
+        "overwrite"
+    ).parquet(path)
+    rows = spark.read.parquet(path).count()
+    info = dict(format="tiles", theme="*", path=path, rows=rows, zooms=list(zooms))
+    manifest.add(**info)
+    manifest.mark_done(part_key, **info)

@@ -178,6 +178,13 @@ def _way_rows(ids, n_nodes, closed_fraction=0.45, missing_ref_fraction=0.01):
         if broken[i]:
             refs[-1] = n_nodes + int(wid)  # dangling ref
         elif closed[i]:
+            # order refs by angle around their coordinate mean so the
+            # ring is star-shaped (simple polygon) — real closed ways
+            # are simple; random order would make self-intersecting
+            # bowties whose shoelace area/centroid are meaningless
+            lon, lat = node_lonlat(np.array(refs, dtype=np.uint64))
+            ang = np.arctan2(lat - lat.mean(), lon - lon.mean())
+            refs = [refs[j] for j in np.argsort(ang, kind="stable")]
             refs = refs + [refs[0]]
         spans = [
             {"kind": "tag", "text": "%s=%s" % (k, v), "media_ref": "", "offset": j}
