@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines:
+
+  exact          — hash groupBy / window survivor pick
+  minhash + LSH  — shingle → minhash signature → banded bucket join
+  simhash        — 64-bit weighted-bit fingerprint, hamming buckets
+  n-gram jaccard — exact verify for candidate pairs
+
+Scale shape: every variant is (narrow signature computation) →
+(shuffle on SHORT bucket keys) → (verify only within buckets).  The
+all-pairs O(n²) never materializes; the widest shuffle carries one row
+per (doc, band), and hot buckets (boilerplate dups) are exactly the
+rows we want colocated.
+
+Hash choices: the minhash variant used for ORACLE parity is md5-based
+(identical hex in Spark and DuckDB, lexicographic min); the scale path
+uses xxhash64 (JVM intrinsic, no string materialization)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group (deterministic)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature_md5(text_col="text", n_hashes: int = 8, shingle_n: int = 3):
+    """array<string> signature: per seed, the lexicographic-min
+    md5(seed || shingle).  Oracle-parity variant (DuckDB md5 identical)."""
+    sh = shingles(text_col, shingle_n)
+
+    def slot(i):
+        # closure factory — a default-arg lambda would be arity-2 and
+        # receive the element INDEX as i (silently wrong seeds)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit("s%d|" % i), s)))
+        )
+
+    return F.array(*[slot(i) for i in range(n_hashes)])
+
+
+def minhash_signature_xx(text_col="text", n_hashes: int = 16, shingle_n: int = 3):
+    """array<long> signature via xxhash64 — the JVM-fast scale path."""
+    sh = shingles(text_col, shingle_n)
+
+    def slot(i):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[slot(i) for i in range(n_hashes)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded minhash LSH.
+    Docs agreeing on ALL rows of any band share a bucket."""
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_xx(text_col, n_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.try_element_at("sig", F.lit(b * rows + r + 1)) for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → jaccard verify →
+    drop the higher-id member of each verified pair."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
+    verified = jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
+    dupes = verified.select(F.col("id_b").alias("__dup")).distinct()
+    return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_col(text_col="text") -> F.Column:
+    """64-bit simhash over tokens, pure Column bit math: for each bit
+    position, sum(+1/-1 per token's xxhash64 bit) > 0 → 1.
+
+    Implemented as: for bit j, count tokens with bit j set, compare to
+    n_tokens/2 (strictly greater → 1: deterministic tie → 0)."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    def bit_term(j):
+        cnt = F.size(
+            F.filter(
+                hashes,
+                lambda h: F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        bit = (cnt * 2 > n).cast("long")
+        return F.shiftleft(bit, j)
+
+    bit_terms = [bit_term(j) for j in range(64)]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def hamming_dist_col(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block the 64-bit hash into n_blocks
+    16-bit keys; a pair within hamming ≤ n_blocks-1 must agree on ≥1
+    block (pigeonhole) — join per block, verify exact hamming."""
+    bits = 64 // n_blocks
+    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    blocked = h.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * bits).bitwiseAND(
+                        F.lit((1 << bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, ["block", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_dist_col(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim_col(a, b) -> F.Column:
+    """Cosine similarity of two array<float/double> columns — pure
+    Column math (zip_with + aggregate), JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.  Random-hyperplane
+    LSH bucket join (sign sketch) + exact cosine verify; vectors whose
+    sketches differ in 0 of n_planes bits land in the same bucket.
+    To not miss boundary pairs, joins on each of the n_planes
+    single-bit-flipped sketches too (multi-probe)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bplanes = df.sparkSession.sparkContext.broadcast(planes)
+
+    @pandas_udf("long")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        p = bplanes.value
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ p.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for j in range(p.shape[0]):
+            out |= signs[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "sk", sketch(F.col("v"))
+    )
+    probes = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                F.col("sk"),
+                *[F.col("sk").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    exact = base.withColumnRenamed("sk", "bucket")
+    pairs = (
+        probes.alias("a")
+        .join(exact.alias("b"), "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return pairs

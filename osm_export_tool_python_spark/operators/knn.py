@@ -1,0 +1,120 @@
+"""kNN nearest-feature search / dedup via cell self-join.
+
+North-star addition (no reference analog — SURVEY.md §2.5): for each
+point feature, find its k nearest neighbors WITHOUT an O(n²) cross
+join:
+
+  1. encode each point into a quadkey cell at `zoom`,
+  2. explode the query side to its cell ∪ 8 neighbors (so matches
+     across cell boundaries are found),
+  3. equi-join on cell (shuffle hash join on a salted-friendly key),
+  4. exact haversine in PURE Column math (JVM codegen, no UDF),
+  5. Window top-k per query id.
+
+Correct iff the true k-th neighbor lies within one cell ring (~cell
+size); pick zoom so the expected NN distance ≪ cell edge.  Skewed hot
+cells are exactly where candidate lists explode — AQE skew-join
+handles the join side; for dedup thresholds use `radius_m` to bound
+candidates semantically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_udf
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_col(lon1, lat1, lon2, lat2):
+    """Haversine distance in meters as a pure Column expression —
+    matches functions/geomkernel.haversine_m bit-for-bit formula-wise."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def _neighbor_cells_udf(zoom):
+    import pandas as pd
+
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.cells import cell_encode, cell_neighbors
+
+    @pandas_udf("array<long>")
+    def _nbrs(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = cell_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
+        nbrs = cell_neighbors(cells)
+        all9 = np.concatenate([cells.reshape(-1, 1), nbrs], axis=1)
+        return pd.Series([np.unique(row).tolist() for row in all9])
+
+    return _nbrs
+
+
+def knn_join(
+    points: DataFrame,
+    k: int = 1,
+    zoom: int = 12,
+    id_col: str = "osm_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius_m: float = None,
+) -> DataFrame:
+    """(id, neighbor_id, dist_m, rank) — k nearest neighbors per point
+    among points within one cell ring at `zoom`."""
+    base = points.select(
+        F.col(id_col).alias("id"), F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")
+    )
+    enc = cell_udf(zoom)
+    targets = base.withColumn("cell", enc("lon", "lat"))
+    queries = base.withColumn(
+        "cell", F.explode(_neighbor_cells_udf(zoom)("lon", "lat"))
+    )
+    pairs = (
+        queries.alias("q")
+        .join(targets.alias("t"), "cell")
+        .where(F.col("q.id") != F.col("t.id"))
+        .select(
+            F.col("q.id").alias("id"),
+            F.col("t.id").alias("neighbor_id"),
+            haversine_col(
+                F.col("q.lon"), F.col("q.lat"), F.col("t.lon"), F.col("t.lat")
+            ).alias("dist_m"),
+        )
+        # a target can be reached via several of the query's 9 cells? no —
+        # targets carry ONE cell each, so each (q,t) pair appears once.
+    )
+    if radius_m is not None:
+        pairs = pairs.where(F.col("dist_m") <= radius_m)
+    w = Window.partitionBy("id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def nearest_feature_dedup(
+    points: DataFrame,
+    radius_m: float,
+    zoom: int = 12,
+    id_col: str = "osm_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Drop near-duplicate points: a point is removed if a LOWER-id
+    point lies within radius_m (deterministic survivor choice)."""
+    nn = knn_join(
+        points, k=1, zoom=zoom, id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+        radius_m=radius_m,
+    )
+    dupes = nn.where(F.col("neighbor_id") < F.col("id")).select(
+        F.col("id").alias("__dup_id")
+    ).distinct()
+    return points.join(
+        dupes, points[id_col] == dupes["__dup_id"], "left_anti"
+    )

@@ -1,0 +1,144 @@
+"""Text functions + dedup family: Column results vs Python oracles,
+LSH candidate recall vs brute force on the driver documents table."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_export_tool_python_spark.functions import text as T
+from osm_export_tool_python_spark.operators import dedup as D
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+def test_token_counts_oracle(spark, docs):
+    rows = docs.select(
+        "doc_id", "text", T.token_count().alias("tc"), T.distinct_token_count().alias("dc")
+    ).collect()
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        assert r["tc"] == len(toks)
+        assert r["dc"] == len(set(toks))
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("d c b a",), ("a b",), ("",)], "text string"
+    )
+    rows = df.select(
+        T.shingles("text", 3).alias("sh"), T.fingerprint().alias("fp")
+    ).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[2]["sh"] == ["a b"]  # shorter than n → whole doc
+    # fingerprint is order-insensitive over the token set
+    assert rows[0]["fp"] == rows[1]["fp"]
+    assert rows[0]["fp"] != rows[2]["fp"]
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is a good day for the play",),
+            ("der hund ist nicht auf der couch und das ist gut",),
+            ("le chat est dans la maison pour le jour",),
+            ("qwz xyzzy plugh",),
+        ],
+        "text string",
+    )
+    rows = df.select(T.lang_id().alias("l"), T.quality_score().alias("q")).collect()
+    assert [r["l"] for r in rows] == ["en", "de", "fr", "und"]
+    assert rows[0]["q"] > rows[3]["q"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df, ["text"], "doc_id").collect())
+    assert kept == [1, 3]
+
+
+def _jaccard(a, b, n=3):
+    def sh(t):
+        toks = t.strip().lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_recall_and_verify(spark, docs):
+    """LSH candidates + exact verify must find every brute-force pair
+    with jaccard ≥ 0.8 (16 hashes / 4 bands ⇒ ~1-(1-s^4)^4 ≈ 0.98 at
+    s=0.8; the verify stage removes false positives entirely)."""
+    local = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    truth = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(local, 2):
+        if _jaccard(ta, tb) >= 0.8:
+            truth.add((min(ia, ib), max(ia, ib)))
+
+    cands = D.lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=16, bands=4)
+    verified = D.jaccard_verify(cands, docs, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    # verify kills false positives: everything found is true
+    assert got <= truth
+    # recall: allow the tiny theoretical LSH miss rate
+    if truth:
+        assert len(got) / len(truth) >= 0.9, (len(got), len(truth))
+
+
+def test_minhash_dedup_removes_dupes(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra"), (4, "completely different words here")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in D.minhash_dedup(df, threshold=0.8).collect()
+    )
+    assert 1 in kept and 4 in kept and 2 not in kept
+
+
+def test_simhash_pairs(spark):
+    words = "the quick brown fox jumps over the lazy dog again and again today".split()
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["tonight"])  # one token differs
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "totally unrelated content with other words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_dup_pairs(df, max_hamming=16, n_blocks=4).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert all(p == (1, 2) for p in ids)
+
+
+def test_simhash_identical_is_zero(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    rows = df.select(D.simhash_col().alias("h")).collect()
+    assert rows[0]["h"] == rows[1]["h"]
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, (base / np.linalg.norm(base)).tolist()),
+        (2, ((base + rng.standard_normal(16) * 0.01) / 1.0).tolist()),  # near-dup of 1
+        (3, rng.standard_normal(16).tolist()),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.98, n_planes=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}
