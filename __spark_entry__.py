@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship themed export on /root/testdata/sf0.001
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data ops); callables take (spark, sf_dir)
+oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
+                genuinely non-SQL-expressible engine pipelines, whose
+                exactness is covered by tests/ instead)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _prepare(spark: SparkSession) -> SparkSession:
+    from osm_export_tool_python_spark.plans.session import attach_package
+
+    return attach_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: themed feature extraction (the reference's
+    simple.yml buildings export) over sf0.001-scaled synthesized
+    interleaved documents + per-theme counts."""
+    _prepare(spark)
+    from osm_export_tool_python_spark.plans.driver_queries import q_osm_flagship_export
+
+    return q_osm_flagship_export(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osm_export_tool_python_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, (fn, _sql) in QUERIES.items():
+        def wrapper(spark, sf_dir, _fn=fn):
+            _prepare(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapper
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_export_tool_python_spark.plans.driver_queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,162 @@
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec}, "sf": ...}
+
+The headline is the full themed-export pipeline (synthesize →
+decode → assemble → theme → clip → tile) whose features/sec is the
+BASELINE.md target metric; the remaining queries cover the operator
+families (relational, window, dedup, ANN, spatial join/kNN).
+Scaling-efficiency runs (local[8] vs local[32]) are produced by
+scripts/bench_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+BENCH_MAPPING = (
+    "buildings:\n  types: [polygons]\n  select: [name, building]\n"
+    "  where: building = 'yes'\n"
+    "roads:\n  types: [lines]\n  select: [highway, name]\n"
+    "  where: highway IS NOT NULL\n"
+    "pois:\n  types: [points]\n  select: [amenity, name]\n"
+    "  where: amenity IS NOT NULL\n"
+)
+
+
+def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path):
+    """Untimed: materialize the interleaved documents table (the
+    engine's input is a table on disk per input_hint, not a generator)."""
+    from osm_export_tool_python_spark.sources import synth
+
+    synth.synthesize(spark, n_nodes=n_nodes, n_ways=n_ways, n_rels=n_rels).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def osm_pipeline_counts(spark, docs_path):
+    """The timed headline pipeline; returns (features, tiles) counts."""
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.operators.clip import AOI, clip_features
+    from osm_export_tool_python_spark.operators.themes import prefilter, theme_fanout
+    from osm_export_tool_python_spark.operators.tiles import tile_counts
+    from osm_export_tool_python_spark.sources import decode
+
+    mapping = Mapping(BENCH_MAPPING)
+    docs = spark.read.parquet(docs_path)
+    feats = assemble.assemble_features(
+        decode.with_entity_meta(docs), persist_intermediate=True
+    )
+    filtered = prefilter(feats, mapping)
+    aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
+    clipped = clip_features(filtered, aoi)
+    themed = theme_fanout(clipped, mapping).persist()
+    try:
+        n_features = themed.count()
+        n_tiles = tile_counts(themed.dropDuplicates(["osm_id", "src"]), 2, 8).count()
+    finally:
+        themed.unpersist()
+        for df in feats._persisted_intermediates:
+            df.unpersist()
+    return n_features, n_tiles
+
+
+def bench_queries(spark, sf_dir, scale):
+    from pyspark.sql import functions as F
+
+    from osm_export_tool_python_spark.operators.dedup import minhash_dedup
+    from osm_export_tool_python_spark.operators.similarity import brute_force_topk
+    from osm_export_tool_python_spark.plans import driver_queries as dq
+
+    docs_path = "/tmp/spark_osm_bench_docs_sf%s" % str(scale)
+    prepare_osm_input(
+        spark, int(40000 * scale), int(10000 * scale), int(500 * scale), docs_path
+    )
+
+    def q_osm_export():
+        return osm_pipeline_counts(spark, docs_path)[0]
+
+    def q_minhash_dedup():
+        docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
+        return minhash_dedup(docs, threshold=0.8).count()
+
+    def q_ann():
+        emb = spark.read.parquet("%s/embeddings.parquet" % sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return brute_force_topk(emb, emb.limit(50), k=10).count()
+
+    return {
+        "osm_export": q_osm_export,
+        "pricing_summary": lambda: dq.q_pricing_summary(spark, sf_dir).count(),
+        "revenue_by_nation": lambda: dq.q_revenue_by_nation(spark, sf_dir).count(),
+        "events_sessionize": lambda: dq.q_events_sessionize(spark, sf_dir).count(),
+        "minhash_dedup": q_minhash_dedup,
+        "ann_top10": q_ann,
+        "knn_cell_join": lambda: dq.q_knn_cell_join(spark, sf_dir).count(),
+        "tile_counts_z8": lambda: dq.q_tile_counts_z8(spark, sf_dir).count(),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        scale = max(float(sf) * 10.0, 0.05)  # sf0.1 → full-size OSM synth
+    except ValueError:
+        sf, scale = "0.1", 1.0
+
+    from osm_export_tool_python_spark.plans.session import default_session
+
+    spark = default_session(
+        master="local[%d]" % cpus,
+        shuffle_partitions=2 * cpus,
+        app_name="spark-osm-export-bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JIT/codegen + Arrow python-worker spin-up, so the
+    # timings below measure steady-state throughput
+    warm = "/tmp/spark_osm_bench_warmup"
+    prepare_osm_input(spark, 800, 200, 10, warm)
+    osm_pipeline_counts(spark, warm)
+
+    timings = {}
+    total = 0.0
+    for name, fn in bench_queries(spark, sf_dir, scale).items():
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "themed OSM export + operator suite wall time, local[%d]" % cpus,
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,81 @@ def segment_intersects_rect(ring, rect):
     return result
 
 
+def classify_bboxes(x0, y0, x1, y1, rings):
+    """Vectorized classification of N bboxes against a polygon
+    (even-odd rings): returns array of 'i' (fully inside), 'o'
+    (disjoint), 'b' (boundary/partial).  O(N × AOI edges) numpy —
+    no per-tile loops, so a world-spanning bbox costs the same as a
+    tiny one.  This is the prepared-geometry fast path (reference
+    tabular.py:259-261) for the clip operator."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    n = len(x0)
+
+    # corner containment (4N points against the rings)
+    corners = np.empty((4 * n, 2), dtype=np.float64)
+    corners[0::4] = np.stack([x0, y0], axis=1)
+    corners[1::4] = np.stack([x1, y0], axis=1)
+    corners[2::4] = np.stack([x1, y1], axis=1)
+    corners[3::4] = np.stack([x0, y1], axis=1)
+    cin = points_in_rings(corners, rings).reshape(n, 4)
+    all_in = cin.all(axis=1)
+    any_in = cin.any(axis=1)
+
+    # does ANY polygon edge intersect bbox i?  per-edge vectorized over bboxes
+    crosses = np.zeros(n, dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        for j in range(len(r) - 1):
+            todo = ~crosses
+            if not todo.any():
+                break
+            ax, ay = r[j]
+            bx, by = r[j + 1]
+            # trivially outside one side of the bbox?
+            out = (
+                (max(ax, bx) < x0)
+                | (min(ax, bx) > x1)
+                | (max(ay, by) < y0)
+                | (min(ay, by) > y1)
+            )
+            cand = todo & ~out
+            if not cand.any():
+                continue
+            # endpoint inside bbox ⇒ cross
+            in_a = (ax >= x0) & (ax <= x1) & (ay >= y0) & (ay <= y1)
+            in_b = (bx >= x0) & (bx <= x1) & (by >= y0) & (by <= y1)
+            crosses |= cand & (in_a | in_b)
+            cand = cand & ~(in_a | in_b)
+            if not cand.any():
+                continue
+            # segment straddles the bbox: test the two bbox diagonals
+            dx, dy = bx - ax, by - ay
+            for (px, py, qx, qy) in (
+                (x0, y0, x1, y1),
+                (x0, y1, x1, y0),
+            ):
+                d1 = dx * (py - ay) - dy * (px - ax)
+                d2 = dx * (qy - ay) - dy * (qx - ax)
+                ex, ey = qx - px, qy - py
+                d3 = ex * (ay - py) - ey * (ax - px)
+                d4 = ex * (by - py) - ey * (bx - px)
+                crosses |= cand & ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    # polygon-inside-bbox (first AOI vertex in bbox)
+    p0 = rings[0][0]
+    poly_in_bbox = (p0[0] >= x0) & (p0[0] <= x1) & (p0[1] >= y0) & (p0[1] <= y1)
+
+    out = np.full(n, "o", dtype="U1")
+    out[crosses | (any_in & ~all_in) | (poly_in_bbox & ~all_in)] = "b"
+    out[all_in & ~crosses] = "i"
+    return out
+
+
 def _segments_cross(p, q, a, b):
     def orient(o, u, v):
         return (u[0] - o[0]) * (v[1] - o[1]) - (u[1] - o[1]) * (v[0] - o[0])
@@ -102,6 +177,40 @@ def _segments_cross(p, q, a, b):
     d3, d4 = orient(a, b, p), orient(a, b, q)
     if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
         return True
+    return False
+
+
+def polyline_crosses_rings(pts, rings):
+    """Does any edge of the polyline cross any ring edge?  Vectorized
+    N_feature_edges × M_ring_edges numpy (proper crossings only —
+    touching endpoints don't count, same as _segments_cross)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) < 2:
+        return False
+    p = pts[:-1]  # (N,2)
+    d = pts[1:] - p  # (N,2)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        a = r[:-1]  # (M,2)
+        e = r[1:] - a  # (M,2)
+        # orient of ring endpoints wrt each polyline edge: (N,M)
+        w0 = a[None, :, 0] - p[:, None, 0]
+        w1 = a[None, :, 1] - p[:, None, 1]
+        v0 = (a + e)[None, :, 0] - p[:, None, 0]
+        v1 = (a + e)[None, :, 1] - p[:, None, 1]
+        d1 = d[:, None, 0] * w1 - d[:, None, 1] * w0
+        d2 = d[:, None, 0] * v1 - d[:, None, 1] * v0
+        # orient of polyline endpoints wrt each ring edge
+        u0 = p[:, None, 0] - a[None, :, 0]
+        u1 = p[:, None, 1] - a[None, :, 1]
+        q0 = (p + d)[:, None, 0] - a[None, :, 0]
+        q1 = (p + d)[:, None, 1] - a[None, :, 1]
+        d3 = e[None, :, 0] * u1 - e[None, :, 1] * u0
+        d4 = e[None, :, 0] * q1 - e[None, :, 1] * q0
+        if (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any():
+            return True
     return False
 
 

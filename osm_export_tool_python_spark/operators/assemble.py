@@ -281,13 +281,19 @@ def relation_polygon_features(
     )
 
 
-def assemble_features(docs_meta: DataFrame) -> DataFrame:
+def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) -> DataFrame:
     """Full assembly: documents-with-meta → unified feature frame.
 
     The relation path additionally requires polygon routing on tags
     (closed_way_is_polygon gate at area time, reference tabular.py:310-311),
     applied here so the relation assembler only runs for area-tagged
-    relations."""
+    relations.
+
+    `persist_intermediate` caches the assembled way coordinates — they
+    feed three downstream branches (lines, closed-way polygons,
+    relation members); without caching, each branch re-runs the
+    way⋈nodes shuffle's reduce side.  Caller owns unpersisting (the
+    frame is tagged `_persisted_intermediates`)."""
     from ..sources import decode
 
     nodes = decode.nodes_table(docs_meta)
@@ -296,6 +302,10 @@ def assemble_features(docs_meta: DataFrame) -> DataFrame:
     members = decode.rel_members_table(docs_meta)
 
     wcoords = way_coords(way_refs, nodes, ways)
+    persisted = []
+    if persist_intermediate:
+        wcoords = wcoords.persist()
+        persisted.append(wcoords)
 
     pts = point_features(nodes)
     lines = line_features(wcoords)
@@ -303,4 +313,6 @@ def assemble_features(docs_meta: DataFrame) -> DataFrame:
     rel_polys = relation_polygon_features(
         members.where(closed_way_is_polygon_col("tags")), wcoords
     )
-    return pts.unionByName(lines).unionByName(way_polys).unionByName(rel_polys)
+    out = pts.unionByName(lines).unionByName(way_polys).unionByName(rel_polys)
+    out._persisted_intermediates = persisted
+    return out

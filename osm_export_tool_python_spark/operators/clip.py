@@ -42,13 +42,26 @@ DEFAULT_COVER_ZOOM = 10
 
 
 class AOI:
-    """Driver-side prepared AOI: rings + cover + convexity."""
+    """Driver-side prepared AOI: rings + convexity + (lazy) cell cover.
+
+    The cover is only needed for SCAN-level partition pruning (cell
+    prefixes → Iceberg/parquet partition filter); per-feature clip
+    classification works directly on the rings, so the quadtree is not
+    built unless asked for."""
 
     def __init__(self, rings, cover_zoom=DEFAULT_COVER_ZOOM):
         self.rings = [np.asarray(r, dtype=np.float64) for r in rings]
         self.cover_zoom = cover_zoom
-        self.cover = cover_at_zoom(polygon_cover(self.rings, cover_zoom), cover_zoom)
+        self._cover = None
         self.convex = len(self.rings) == 1 and gk.is_convex(self.rings[0])
+
+    @property
+    def cover(self):
+        if self._cover is None:
+            self._cover = cover_at_zoom(
+                polygon_cover(self.rings, self.cover_zoom), self.cover_zoom
+            )
+        return self._cover
 
     def cell_classes(self):
         inside = np.array(
@@ -59,33 +72,26 @@ class AOI:
         )
         return inside, boundary
 
+    def prune_cells(self, zoom):
+        """Cell ids at `zoom` overlapping the AOI — the partition-
+        pruning predicate for a cell-partitioned scan."""
+        from ..functions.cells import cell_parent
 
-def _classify_batch(xs_min, ys_min, xs_max, ys_max, inside_set, boundary_set, zoom):
-    """Vectorized bbox → 'i'/'o'/'b' classification against the cover."""
-    n = len(xs_min)
-    x0, y1 = lonlat_to_tile(xs_min, ys_min, zoom)  # note: y grows southward
-    x1, y0 = lonlat_to_tile(xs_max, ys_max, zoom)
-    out = np.empty(n, dtype="U1")
-    for i in range(n):
-        all_inside = True
-        any_candidate = False
-        for tx in range(int(x0[i]), int(x1[i]) + 1):
-            for ty in range(int(y0[i]), int(y1[i]) + 1):
-                c = int(cell_from_zxy(zoom, np.uint64(tx), np.uint64(ty)))
-                if c in inside_set:
-                    any_candidate = True
-                elif c in boundary_set:
-                    any_candidate = True
-                    all_inside = False
-                else:
-                    all_inside = False
-        if any_candidate and all_inside:
-            out[i] = "i"
-        elif any_candidate:
-            out[i] = "b"
-        else:
-            out[i] = "o"
-    return out
+        cells = np.array(sorted(self.cover), dtype=np.int64)
+        if zoom == self.cover_zoom:
+            return set(int(c) for c in cells)
+        return set(int(c) for c in np.unique(cell_parent(cells, zoom)))
+
+
+def _classify_batch(xs_min, ys_min, xs_max, ys_max, rings):
+    """Vectorized bbox → 'i'/'o'/'b' classification DIRECTLY against the
+    AOI rings (functions/geomkernel.classify_bboxes) — O(N×edges), no
+    per-tile loops.  The quadtree cell cover remains the scan-level
+    partition-pruning structure (AOI → cell prefixes), but per-feature
+    classification never touches cells."""
+    from ..functions.geomkernel import classify_bboxes
+
+    return classify_bboxes(xs_min, ys_min, xs_max, ys_max, rings)
 
 
 def _exact_row(geom_type, xs, ys, ring_offsets, part_offsets, aoi):
@@ -104,30 +110,8 @@ def _exact_row(geom_type, xs, ys, ring_offsets, part_offsets, aoi):
         )
 
     any_vertex_in = bool(gk.points_in_rings(pts, aoi.rings).any())
-    # edge-crossing test against AOI bbox first, then exact ring edges
-    crosses = False
-    for ring in aoi.rings:
-        r = ring
-        closed = np.vstack([r, r[0]])
-        for j in range(len(closed) - 1):
-            a, b = closed[j], closed[j + 1]
-            seg = np.stack([a, b])
-            # does AOI edge j intersect the feature's bbox at all?
-            if (
-                max(a[0], b[0]) < xs.min()
-                or min(a[0], b[0]) > xs.max()
-                or max(a[1], b[1]) < ys.min()
-                or min(a[1], b[1]) > ys.max()
-            ):
-                continue
-            for k in range(len(pts) - 1):
-                if gk._segments_cross(pts[k], pts[k + 1], a, b):
-                    crosses = True
-                    break
-            if crosses:
-                break
-        if crosses:
-            break
+    # vectorized feature-edges × AOI-edges proper-crossing test
+    crosses = gk.polyline_crosses_rings(pts, aoi.rings)
     # polygon case: AOI fully inside feature also intersects
     aoi_first_in_feature = False
     if geom_type == "polygon" and not (any_vertex_in or crosses):
@@ -190,9 +174,6 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
     b_aoi = sc.broadcast(
         {
             "rings": [r.tolist() for r in aoi.rings],
-            "inside": set(int(c) for c, v in aoi.cover.items() if v == "inside"),
-            "boundary": set(int(c) for c, v in aoi.cover.items() if v == "boundary"),
-            "zoom": aoi.cover_zoom,
             "convex": aoi.convex,
         }
     )
@@ -208,9 +189,7 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
                 ymin.to_numpy(np.float64),
                 xmax.to_numpy(np.float64),
                 ymax.to_numpy(np.float64),
-                a["inside"],
-                a["boundary"],
-                a["zoom"],
+                [np.asarray(r) for r in a["rings"]],
             )
         )
 

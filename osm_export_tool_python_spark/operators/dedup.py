@@ -58,6 +58,26 @@ def minhash_signature_xx(text_col="text", n_hashes: int = 16, shingle_n: int = 3
     return F.array(*[slot(i) for i in range(n_hashes)])
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signatures via explode → hash →
+    groupBy-min.  The shingle expression evaluates ONCE per doc (the
+    naive array-of-array_min form re-evaluates it n_hashes times and
+    falls out of codegen); the min-agg combines map-side, so the
+    shuffle carries one row per doc."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
+    )
+    return exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias("h%d" % i) for i in range(n_hashes)]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -69,17 +89,14 @@ def lsh_candidate_pairs(
     """(id_a, id_b) candidate pairs from banded minhash LSH.
     Docs agreeing on ALL rows of any band share a bucket."""
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_xx(text_col, n_hashes, shingle_n).alias("sig"),
-    )
+    sig = minhash_signature_table(df, id_col, text_col, n_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.lit(b), *[F.try_element_at("sig", F.lit(b * rows + r + 1)) for r in range(rows)]
+                        F.lit(b), *[F.col("h%d" % (b * rows + r)) for r in range(rows)]
                     )
                     for b in range(bands)
                 ]

@@ -46,32 +46,67 @@ def _tiles_for_bbox(xmin, ymin, xmax, ymax, zooms, max_cells_per_zoom=256):
     return out
 
 
-def with_tile_cells(features: DataFrame, min_zoom: int, max_zoom: int) -> DataFrame:
-    """Add `cell` (exploded): one row per (feature, covering tile)."""
-    zooms = list(range(min_zoom, max_zoom + 1))
+def _spread_bits_col(v):
+    """Morton bit-spread as pure Column ops (inverse of decode_cell_cols'
+    compact) — bit i of the low 32 moves to bit 2i."""
+    v = v.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
 
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<long>")
-    def cover(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _tiles_for_bbox(a, b, c, d, zooms)
-                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
-            ]
-        )
+def tile_x_col(lon, zoom):
+    """lon → tile x at zoom, pure Column math (same formula as
+    functions/cells.lonlat_to_tile)."""
+    n = F.pow(F.lit(2.0), zoom.cast("double"))
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    return F.greatest(F.lit(0), F.least(x, (n - 1).cast("long"))).cast("long")
 
-    return features.withColumn(
-        "cell",
-        F.explode(
-            cover(
-                F.array_min("xs"),
-                F.array_min("ys"),
-                F.array_max("xs"),
-                F.array_max("ys"),
-            )
-        ),
+
+def tile_y_col(lat, zoom):
+    n = F.pow(F.lit(2.0), zoom.cast("double"))
+    lat_c = F.greatest(F.lit(-85.05112878), F.least(lat, F.lit(85.05112878)))
+    rad = F.radians(lat_c)
+    y = F.floor((1.0 - F.asinh(F.tan(rad)) / float(__import__("math").pi)) / 2.0 * n)
+    return F.greatest(F.lit(0), F.least(y, (n - 1).cast("long"))).cast("long")
+
+
+def cell_col(zoom, x, y):
+    return (
+        F.shiftleft(_spread_bits_col(x).bitwiseOR(F.shiftleft(_spread_bits_col(y), 1)), 5)
+        .bitwiseOR(zoom.cast("long"))
     )
+
+
+def with_tile_cells(
+    features: DataFrame, min_zoom: int, max_zoom: int, max_cells_per_zoom: int = 256
+) -> DataFrame:
+    """Add `cell` (exploded): one row per (feature, covering tile,
+    zoom).  Entirely JVM-side Column math — zoom explode, per-zoom
+    bbox→tile-range arithmetic, sequence×sequence explode, Morton
+    packing — so whole-stage codegen handles millions of features
+    without touching Python.  Features whose bbox covers more than
+    `max_cells_per_zoom` tiles at a zoom are skipped at that zoom
+    (coarser zooms still cover them)."""
+    z = F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("z")
+    df = features.select("*", z)
+    x0 = tile_x_col(F.array_min("xs"), F.col("z"))
+    x1 = tile_x_col(F.array_max("xs"), F.col("z"))
+    y0 = tile_y_col(F.array_max("ys"), F.col("z"))  # y grows southward
+    y1 = tile_y_col(F.array_min("ys"), F.col("z"))
+    df = df.withColumn("__x0", x0).withColumn("__x1", x1).withColumn("__y0", y0).withColumn("__y1", y1)
+    df = df.where(
+        (F.col("__x1") - F.col("__x0") + 1) * (F.col("__y1") - F.col("__y0") + 1)
+        <= max_cells_per_zoom
+    )
+    df = df.withColumn("__tx", F.explode(F.sequence("__x0", "__x1")))
+    df = df.withColumn("__ty", F.explode(F.sequence("__y0", "__y1")))
+    return df.withColumn(
+        "cell", cell_col(F.col("z"), F.col("__tx"), F.col("__ty"))
+    ).drop("z", "__x0", "__x1", "__y0", "__y1", "__tx", "__ty")
 
 
 def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:

@@ -1,0 +1,862 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 (plus the
+training-data ops) exposed as (spark, sf_dir) → DataFrame, each with an
+equivalent DuckDB oracle SQL where expressible.
+
+Oracle-parity ground rules (learned the hard way):
+  - every computed column aliased IDENTICALLY in Spark and SQL,
+  - doubles rounded (4-6 dp) on BOTH sides before comparison,
+  - md5 is the shared deterministic hash (same hex in both engines),
+  - string comparison is binary/lexicographic in both,
+  - derived lon/lat grids are integer arithmetic → bit-identical.
+
+Spatial queries derive deterministic coordinates from TPC-H keys:
+  lon(k) = ((k*7) % 3600)/10 - 180 + 0.05   ∈ [-179.95, 179.95]
+  lat(k) = ((k*13) % 1600)/10 - 80 + 0.05   ∈ [ -79.95,  79.95]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.dsl import Matcher
+from ..functions.compile import compile_matcher
+from ..operators import dedup as D
+from ..operators.knn import haversine_col, knn_join
+from ..operators.similarity import brute_force_topk
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+
+
+def _lon(k):
+    return ((k * 7) % 3600) / 10.0 - 180.0 + 0.05
+
+
+def _lat(k):
+    return ((k * 13) % 1600) / 10.0 - 80.0 + 0.05
+
+
+LON_SQL = "(((%(k)s * 7) % 3600) / 10.0 - 180.0 + 0.05)"
+LAT_SQL = "(((%(k)s * 13) % 1600) / 10.0 - 80.0 + 0.05)"
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count().alias("n_tokens"),
+        T.distinct_token_count().alias("n_distinct"),
+        T.bpe_ish_token_count().alias("n_subword"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) END AS n_distinct,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subword
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(T.punct_ratio(), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(), 6).alias("stop_ratio"),
+        F.round(T.mean_token_len(), 6).alias("mean_tok_len"),
+    )
+
+
+SQL_DOC_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text)='' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN length(text)=0 THEN 0.0
+        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+  round(CASE WHEN len(t)=0 THEN 0.0
+        ELSE len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))
+             / CAST(len(t) AS DOUBLE) END, 6) AS stop_ratio,
+  round(CASE WHEN len(t)=0 THEN 0.0
+        ELSE list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE) END, 6) AS mean_tok_len
+FROM toks
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", T.lang_id().alias("lang_guess"))
+
+
+SQL_DOC_LANGID = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS en,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS de,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], x))) AS fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+       WHEN en = greatest(en, de, fr) AND de = greatest(en, de, fr) THEN 'und'
+       WHEN en = greatest(en, de, fr) AND fr = greatest(en, de, fr) THEN 'und'
+       WHEN de = greatest(en, de, fr) AND fr = greatest(en, de, fr) THEN 'und'
+       WHEN en = greatest(en, de, fr) THEN 'en'
+       WHEN de = greatest(en, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
+def q_doc_fingerprint_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(T.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SQL_DOC_FINGERPRINT_DUPS = """
+WITH fps AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fp
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_minhash_md5(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature_md5("text", n_hashes=4, shingle_n=3)
+    return docs.select(
+        "doc_id",
+        *[F.try_element_at(sig, F.lit(i + 1)).alias("h%d" % i) for i in range(4)],
+    )
+
+
+SQL_MINHASH_MD5 = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+)
+SELECT doc_id,
+  list_min(list_transform(s, x -> md5('s0|' || x))) AS h0,
+  list_min(list_transform(s, x -> md5('s1|' || x))) AS h1,
+  list_min(list_transform(s, x -> md5('s2|' || x))) AS h2,
+  list_min(list_transform(s, x -> md5('s3|' || x))) AS h3
+FROM sh
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(T.shingles("text", 3)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT doc_id AS id,
+    list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE doc_id < 80)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.id < b.id
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embed_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+
+
+SQL_EMBED_NORMS = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_embed_knn_top1(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 30)
+    top = brute_force_topk(emb, queries, k=1)
+    return top.select(
+        "query_id",
+        F.col("vec_id").alias("nn_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+SQL_EMBED_KNN_TOP1 = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS nn_id,
+         list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+              * sqrt(list_sum(list_transform(t.e, x -> x*x)))) AS cos_raw
+  FROM v q, v t
+  WHERE q.vec_id < 30 AND q.vec_id <> t.vec_id
+)
+SELECT query_id, nn_id, round(cos_raw, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nn_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def q_embed_label_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    )
+
+
+SQL_EMBED_LABEL_CENTROIDS = """
+SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS mean_v
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i - 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessionization
+# ---------------------------------------------------------------------------
+
+def q_events_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_user_top3(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_EVENTS_USER_TOP3 = """
+SELECT user_id, rank, event_id, round(value, 6) AS value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE user_id < 50
+) WHERE rank <= 3
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessions = gaps > 30 min between a user's consecutive events."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("s", starts)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, SUM(s) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS s
+  FROM events WHERE user_id < 100
+) GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage (scan/filter/join/agg/window)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_supplier_per_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("r").desc(), F.col("s_suppkey").asc())
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("s_nationkey", "s_suppkey", F.round("r", 2).alias("revenue"))
+    )
+
+
+SQL_TOP_SUPPLIER_PER_NATION = """
+SELECT s_nationkey, s_suppkey, round(r, 2) AS revenue FROM (
+  SELECT s_nationkey, s_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS r,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, s_suppkey) AS rk
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial: cell/tile assignment, PIP, kNN (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def _customer_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        (((k * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((k * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("lat"),
+    )
+
+
+def q_cell_assign(spark, sf_dir):
+    """Quadkey cell assignment at z=8 via the numpy codec UDF,
+    decoded back to (z,x,y) with the JVM bit-math decoder."""
+    from ..functions.cells import cell_udf
+    from ..operators.tiles import decode_cell_cols
+
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", cell_udf(8)("lon", "lat"))
+        .select("c_custkey", decode_cell_cols("cell"))
+        .select("c_custkey", "c.x", "c.y")
+        .withColumnRenamed("x", "tile_x")
+        .withColumnRenamed("y", "tile_y")
+    )
+
+
+SQL_CELL_ASSIGN = """
+WITH pts AS (
+  SELECT c_custkey,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS tile_x,
+       CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 256) AS BIGINT) AS tile_y
+FROM pts
+"""
+
+
+def q_tile_counts_z8(spark, sf_dir):
+    from ..functions.cells import cell_udf
+    from ..operators.tiles import decode_cell_cols
+
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", cell_udf(8)("lon", "lat"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+        .select(decode_cell_cols("cell"), "n_points")
+        .select(F.col("c.x").alias("tile_x"), F.col("c.y").alias("tile_y"), "n_points")
+    )
+
+
+SQL_TILE_COUNTS_Z8 = """
+WITH pts AS (
+  SELECT (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer
+)
+SELECT CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS tile_x,
+       CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 256) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+# strictly-inside test against a fixed triangle (convex → 3 half-plane signs)
+_TRI = [(-120.0, -60.0), (100.0, -20.0), (0.0, 70.0)]
+
+
+def q_pip_triangle(spark, sf_dir):
+    """Point-in-polygon via the engine's vectorized numpy ray-cast
+    kernel, oracled by SQL half-plane sign tests (convex AOI)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.geomkernel import points_in_rings
+
+    tri = _TRI
+
+    @pandas_udf("boolean")
+    def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        pts = np.stack([lon.to_numpy(np.float64), lat.to_numpy(np.float64)], axis=1)
+        return pd.Series(points_in_rings(pts, [np.array(tri)]))
+
+    pts = _customer_points(spark, sf_dir)
+    return pts.where(pip("lon", "lat")).select("c_custkey")
+
+
+SQL_PIP_TRIANGLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS x,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS y
+  FROM customer
+)
+SELECT c_custkey FROM pts
+WHERE ((100.0 - (-120.0)) * (y - (-60.0)) - (-20.0 - (-60.0)) * (x - (-120.0))) > 0
+  AND ((0.0 - 100.0) * (y - (-20.0)) - (70.0 - (-20.0)) * (x - 100.0)) > 0
+  AND ((-120.0 - 0.0) * (y - 70.0) - (-60.0 - 70.0) * (x - 0.0)) > 0
+"""
+
+HAVERSINE_SQL = (
+    "2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+)
+
+
+def q_haversine_nn(spark, sf_dir):
+    """Brute-force nearest customer (by haversine) for custkey < 30
+    among custkey < 400 — the exact baseline the cell-join kNN must
+    reproduce."""
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") < 400)
+    a, b = pts.alias("a"), pts.alias("b")
+    d = haversine_col(F.col("a.lon"), F.col("a.lat"), F.col("b.lon"), F.col("b.lat"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a.c_custkey") != F.col("b.c_custkey"))
+        .where(F.col("a.c_custkey") < 30)
+        .select(
+            F.col("a.c_custkey").alias("id"),
+            F.col("b.c_custkey").alias("nn_id"),
+            d.alias("d"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nn_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "nn_id", F.round(F.col("d") / 1000.0, 3).alias("dist_km"))
+    )
+
+
+_HAV = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")
+SQL_HAVERSINE_NN = """
+WITH pts AS (
+  SELECT c_custkey,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer WHERE c_custkey < 400
+)
+SELECT id, nn_id, round(d / 1000.0, 3) AS dist_km FROM (
+  SELECT a.c_custkey AS id, b.c_custkey AS nn_id,
+         {hav} AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.c_custkey ORDER BY {hav} ASC, b.c_custkey) AS rk
+  FROM pts a, pts b
+  WHERE a.c_custkey <> b.c_custkey AND a.c_custkey < 30
+) WHERE rk = 1
+""".format(hav=_HAV)
+
+
+def q_knn_cell_join(spark, sf_dir):
+    """The SAME nearest-neighbor result as q_haversine_nn, produced by
+    the scale-path cell-join kNN operator (zoom 3: cell ≫ NN distance)
+    — the oracle is identical SQL, so the gate proves the cell join
+    loses nothing."""
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") < 400)
+    nn = knn_join(pts, k=1, zoom=3, id_col="c_custkey")
+    return (
+        nn.where(F.col("id") < 30)
+        .select(
+            "id",
+            F.col("neighbor_id").alias("nn_id"),
+            F.round(F.col("dist_m") / 1000.0, 3).alias("dist_km"),
+        )
+    )
+
+
+SQL_KNN_CELL_JOIN = SQL_HAVERSINE_NN
+
+
+# ---------------------------------------------------------------------------
+# OSM engine: encode→decode→assemble round-trip with a relational oracle
+# ---------------------------------------------------------------------------
+
+def q_osm_way_assembly(spark, sf_dir):
+    """Build an interleaved documents table FROM lineitem (way per
+    order, node per part, ref order = linenumber), run the engine's
+    decode + way⋈nodes assembly, and emit per-way aggregates.  The
+    oracle computes the same numbers directly from lineitem — a fully
+    independent check of the entire span pipeline."""
+    from ..sources import decode
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    pk = F.col("l_partkey")
+    nodes_src = li.select("l_partkey").distinct().select(
+        "l_partkey",
+        (((pk * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((pk * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("lat"),
+    )
+    node_docs = nodes_src.select(
+        F.concat(F.lit("node/"), F.col("l_partkey").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("point").alias("text"),
+                decode.wkb_point_encode(F.col("lon"), F.col("lat")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    way_docs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("refs"))
+        .select(
+            F.concat(F.lit("way/"), F.col("l_orderkey").cast("string")).alias("doc_id"),
+            F.transform(
+                "refs",
+                lambda r, i: F.struct(
+                    F.lit("ref").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.concat(F.lit("node/"), r.l_partkey.cast("string")).alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    docs = node_docs.unionByName(way_docs)
+    meta = decode.with_entity_meta(docs)
+    from ..operators.assemble import way_coords
+
+    wc = way_coords(
+        decode.way_refs_table(meta), decode.nodes_table(meta), decode.ways_table(meta)
+    )
+    # planar path length in degrees (|dx|+|dy| per hop) — fp-stable
+    seg = F.zip_with(
+        F.slice("xs", 1, F.size("xs") - 1),
+        F.slice("xs", 2, F.size("xs") - 1),
+        lambda a, b: F.abs(b - a),
+    )
+    segy = F.zip_with(
+        F.slice("ys", 1, F.size("ys") - 1),
+        F.slice("ys", 2, F.size("ys") - 1),
+        lambda a, b: F.abs(b - a),
+    )
+    return wc.select(
+        F.col("way_id").alias("order_id"),
+        F.size("xs").alias("n_points"),
+        F.round(F.try_element_at("xs", F.lit(1)), 6).alias("first_lon"),
+        F.round(F.try_element_at("ys", F.lit(-1)), 6).alias("last_lat"),
+        F.round(
+            F.aggregate(seg, F.lit(0.0), lambda a, v: a + v)
+            + F.aggregate(segy, F.lit(0.0), lambda a, v: a + v),
+            6,
+        ).alias("path_len"),
+    )
+
+
+SQL_OSM_WAY_ASSEMBLY = """
+WITH refs AS (
+  SELECT l_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey) AS rn,
+         (((l_partkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((l_partkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM lineitem WHERE l_orderkey < 2000
+), hops AS (
+  SELECT l_orderkey, rn, lon, lat,
+         abs(lon - LAG(lon) OVER w) + abs(lat - LAG(lat) OVER w) AS hop
+  FROM refs
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY rn)
+)
+SELECT l_orderkey AS order_id,
+       COUNT(*) AS n_points,
+       round(arg_min(lon, rn), 6) AS first_lon,
+       round(arg_max(lat, rn), 6) AS last_lat,
+       round(COALESCE(SUM(hop), 0.0), 6) AS path_len
+FROM hops GROUP BY l_orderkey
+"""
+
+
+def q_osm_theme_match(spark, sf_dir):
+    """Tag-filter DSL compiled to Catalyst over a tags map derived from
+    the part table; the oracle replicates the DSL's exact semantics in
+    plain SQL (keys always present here, so no absent-key traps)."""
+    part = _t(spark, sf_dir, "part")
+    tags = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type"), F.lit("size")),
+        F.array(F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")),
+    )
+    # note: size >= '25' is LEXICOGRAPHIC on the stringified int — the
+    # reference's documented trap (sql.py:91-97); the oracle casts too
+    m = Matcher.from_sql("brand = 'Brand#13' OR type > 'STANDARD' AND size >= 25")
+    return (
+        part.withColumn("tags", tags)
+        .where(compile_matcher(m))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+
+
+SQL_OSM_THEME_MATCH = """
+SELECT p_partkey, p_brand, p_type FROM part
+WHERE p_brand = 'Brand#13'
+   OR (p_type > 'STANDARD' AND CAST(p_size AS VARCHAR) >= '25')
+"""
+
+
+def q_osm_span_roundtrip(spark, sf_dir):
+    """Span-sequence equality invariant as a HARD oracle: returns the
+    doc_ids whose decode→re-encode differs — must be EMPTY (oracle:
+    empty set)."""
+    from ..sources import decode, synth
+
+    docs = synth.synthesize(spark, n_nodes=800, n_ways=200, n_rels=20)
+    cmp = decode.reencode_spans(decode.with_entity_meta(docs))
+    return cmp.where(F.col("original") != F.col("rebuilt")).select("doc_id")
+
+
+SQL_OSM_SPAN_ROUNDTRIP = "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents WHERE FALSE"
+
+
+# ---------------------------------------------------------------------------
+# OSM engine: non-SQL-expressible (rows-only driver check; exactness is
+# covered by the pytest suite instead)
+# ---------------------------------------------------------------------------
+
+def q_osm_flagship_export(spark, sf_dir):
+    from ..functions.mapping import Mapping
+    from ..operators import assemble
+    from ..operators.themes import prefilter, theme_fanout
+    from ..sources import decode, synth
+
+    docs = synth.synthesize(spark, n_nodes=3000, n_ways=800, n_rels=40)
+    mapping = Mapping(
+        "buildings:\n  types: [polygons]\n  select: [name, building]\n"
+        "  where: building = 'yes'\n"
+        "roads:\n  types: [lines]\n  select: [highway, name]\n"
+        "  where: highway IS NOT NULL\n"
+    )
+    feats = prefilter(assemble.assemble_features(decode.with_entity_meta(docs)), mapping)
+    return (
+        theme_fanout(feats, mapping)
+        .groupBy("theme", "geom_type")
+        .agg(F.count("*").alias("n_features"))
+        .orderBy("theme", "geom_type")
+    )
+
+
+def q_osm_tile_table(spark, sf_dir):
+    from ..operators import assemble
+    from ..operators.tiles import tile_counts
+    from ..sources import decode, synth
+
+    docs = synth.synthesize(spark, n_nodes=3000, n_ways=800, n_rels=40)
+    feats = assemble.assemble_features(decode.with_entity_meta(docs))
+    return tile_counts(feats, 2, 5)
+
+
+def q_media_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=120)
+    return extract_features(media).select("media_id", "kind", "feat_dim")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # text / dedup
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_langid": (q_doc_langid, SQL_DOC_LANGID),
+    "doc_fingerprint_dups": (q_doc_fingerprint_dups, SQL_DOC_FINGERPRINT_DUPS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    # embeddings
+    "embed_norms": (q_embed_norms, SQL_EMBED_NORMS),
+    "embed_knn_top1": (q_embed_knn_top1, SQL_EMBED_KNN_TOP1),
+    "embed_label_centroids": (q_embed_label_centroids, SQL_EMBED_LABEL_CENTROIDS),
+    # events
+    "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_user_top3": (q_events_user_top3, SQL_EVENTS_USER_TOP3),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    # relational
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "top_supplier_per_nation": (q_top_supplier_per_nation, SQL_TOP_SUPPLIER_PER_NATION),
+    # spatial
+    "cell_assign": (q_cell_assign, SQL_CELL_ASSIGN),
+    "tile_counts_z8": (q_tile_counts_z8, SQL_TILE_COUNTS_Z8),
+    "pip_triangle": (q_pip_triangle, SQL_PIP_TRIANGLE),
+    "haversine_nn": (q_haversine_nn, SQL_HAVERSINE_NN),
+    "knn_cell_join": (q_knn_cell_join, SQL_KNN_CELL_JOIN),
+    # OSM engine
+    "osm_way_assembly": (q_osm_way_assembly, SQL_OSM_WAY_ASSEMBLY),
+    "osm_theme_match": (q_osm_theme_match, SQL_OSM_THEME_MATCH),
+    "osm_span_roundtrip": (q_osm_span_roundtrip, SQL_OSM_SPAN_ROUNDTRIP),
+    # rows-only (non-SQL-expressible)
+    "osm_flagship_export": (q_osm_flagship_export, None),
+    "osm_tile_table": (q_osm_tile_table, None),
+    "media_features": (q_media_features, None),
+}
