@@ -57,6 +57,14 @@ def default_session(master=None, app_name="spark-osm-export", shuffle_partitions
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode: driver == executor; the 1g default heap thrashes
+        # GC as soon as many tasks run concurrently
+        .config("spark.driver.memory", os.environ.get("SPARK_OSM_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        # G1's concurrent phases collapse under many runner threads in
+        # this virtualized sandbox (measured 2.5x slowdown at 32
+        # threads); throughput GC restores parallel scaling
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or 2 * int(master[6:-1] if master.startswith("local[") and master[6:-1].isdigit() else cpus)),
