@@ -289,20 +289,25 @@ def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) 
     applied here so the relation assembler only runs for area-tagged
     relations.
 
-    `persist_intermediate` caches the assembled way coordinates — they
-    feed three downstream branches (lines, closed-way polygons,
-    relation members); without caching, each branch re-runs the
-    way⋈nodes shuffle's reduce side.  Caller owns unpersisting (the
-    frame is tagged `_persisted_intermediates`)."""
+    `persist_intermediate` caches (a) the one-pass decoded entities
+    frame — the wide `spans` column is then scanned ONCE instead of
+    once per entity table — and (b) the assembled way coordinates,
+    which feed three downstream branches (lines, closed-way polygons,
+    relation members).  Caller owns unpersisting (the frame is tagged
+    `_persisted_intermediates`)."""
     from ..sources import decode
 
-    nodes = decode.nodes_table(docs_meta)
-    ways = decode.ways_table(docs_meta)
-    way_refs = decode.way_refs_table(docs_meta)
-    members = decode.rel_members_table(docs_meta)
+    persisted = []
+    entities = decode.entities_table(docs_meta)
+    if persist_intermediate:
+        entities = entities.persist()
+        persisted.append(entities)
+    nodes = decode.nodes_from_entities(entities)
+    ways = decode.ways_from_entities(entities)
+    way_refs = decode.way_refs_from_entities(entities)
+    members = decode.rel_members_from_entities(entities)
 
     wcoords = way_coords(way_refs, nodes, ways)
-    persisted = []
     if persist_intermediate:
         wcoords = wcoords.persist()
         persisted.append(wcoords)

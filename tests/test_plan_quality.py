@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: the declarative pipeline must actually
+get the Catalyst treatment — filter pushdown into the parquet scan,
+column pruning, broadcast for small dims, and no Python in JVM-able
+paths.  These are the '.explain and iterate' checks promoted to tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from osm_export_tool_python_spark.plans.driver_queries import q_pricing_summary
+
+    plan = _formatted(q_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    from osm_export_tool_python_spark.plans.driver_queries import q_events_by_type
+
+    plan = _formatted(q_events_by_type(spark, SF))
+    # scan schema must carry only the two needed columns
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "event_type" in read and "value" in read
+    assert "props" not in read and "user_id" not in read
+
+
+def test_small_dim_broadcast(spark):
+    from osm_export_tool_python_spark.plans.driver_queries import q_revenue_by_nation
+
+    assert "BroadcastHashJoin" in _plan(q_revenue_by_nation(spark, SF))
+
+
+def test_decode_prunes_spans_for_tag_only_reads(spark, tmp_path):
+    """A tags-only projection over the documents table must not drag
+    the full spans payload through a Python stage — decode is pure
+    Column, so the scan feeds codegen directly."""
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    p = str(tmp_path / "docs")
+    synth.synthesize(spark, 200, 50, 5).write.parquet(p)
+    docs = spark.read.parquet(p)
+    q = decode.with_entity_meta(docs).select("src", "tags")
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_theme_filter_stays_in_codegen(spark, tmp_path):
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators.themes import prefilter
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    p = str(tmp_path / "docs")
+    synth.synthesize(spark, 200, 50, 5).write.parquet(p)
+    mapping = Mapping("b:\n  select: [building]\n  where: building = 'yes'\n")
+    docs = decode.with_entity_meta(spark.read.parquet(p))
+    q = prefilter(docs, mapping)
+    plan = _plan(q)
+    # higher-order span-decode lambdas are interpreted (not codegen-able)
+    # but must still be pure JVM — no Python eval stage anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
