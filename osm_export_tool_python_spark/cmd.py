@@ -34,6 +34,10 @@ def main(argv=None):
     parser.add_argument("--tile-zooms", default="0,8", help="min,max tile zooms")
     parser.add_argument("--master", default=None, help="spark master (default local[cpus])")
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument(
+        "--metrics", action="store_true",
+        help="also record assembly dropout metrics (incomplete ways / invalid relations)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     parsed = parser.parse_args(argv)
 
@@ -73,6 +77,7 @@ def main(argv=None):
         polygon_centroid=parsed.polygon_centroid,
         tile_zooms=(zmin, zmax),
         resume=not parsed.no_resume,
+        dropout_metrics=parsed.metrics,
     )
     print("Completed in {0} seconds.".format(round(time.time() - start, 1)))
     for entry in manifest["entries"]:

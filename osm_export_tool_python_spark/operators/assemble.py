@@ -281,6 +281,43 @@ def relation_polygon_features(
     )
 
 
+def assembly_dropout_metrics(docs_meta: DataFrame) -> dict:
+    """The distributed equivalents of the reference's per-entity skip
+    diagnostics:
+
+      incomplete_ways   — ways with a dangling node ref
+                          ('Incomplete way: {id}', tabular.py:305-306)
+      invalid_relations — multipolygon relations whose member rings
+                          cannot be closed ('Invalid area: {id}',
+                          tabular.py:338-339)
+    """
+    from ..sources import decode
+
+    entities = decode.entities_table(docs_meta)
+    nodes = decode.nodes_from_entities(entities)
+    ways = decode.ways_from_entities(entities)
+    way_refs = decode.way_refs_from_entities(entities)
+    members = decode.rel_members_from_entities(entities)
+
+    wcoords = way_coords(way_refs, nodes, ways)
+    n_ways = ways.count()
+    n_complete = wcoords.where(F.col("complete")).count()
+
+    assembled = members.join(
+        wcoords.select("way_id", "complete", "xs", "ys"), "way_id", "left"
+    ).where(F.col("complete")).groupBy("rel_id").applyInPandas(
+        lambda pdf: _assemble_group(pdf), schema=_ASSEMBLY_SCHEMA
+    )
+    n_rels = members.select("rel_id").distinct().count()
+    n_valid_rels = assembled.where(F.col("valid")).count()
+    return {
+        "ways_total": n_ways,
+        "incomplete_ways": n_ways - n_complete,
+        "multipolygon_relations": n_rels,
+        "invalid_relations": n_rels - n_valid_rels,
+    }
+
+
 def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) -> DataFrame:
     """Full assembly: documents-with-meta → unified feature frame.
 

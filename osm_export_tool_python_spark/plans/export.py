@@ -28,6 +28,20 @@ from .sinks import launder_name, make_filename, wkt_column, kml_geometry_column
 TABULAR_FORMATS = ("gpkg", "shp", "kml")
 
 
+def partition_lineage(spark, path: str) -> dict:
+    """Per-partition (output file) row counts — the lineage record the
+    north rule asks for ('resumable from checkpoint with per-partition
+    lineage + metrics').  One scan yields both the per-file map and the
+    part's total."""
+    df = spark.read.parquet(path)
+    rows = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return {os.path.basename(r["f"]): r["n"] for r in rows}
+
+
 def export(
     spark,
     docs: DataFrame,
@@ -38,13 +52,21 @@ def export(
     polygon_centroid: bool = False,
     tile_zooms=None,
     resume: bool = True,
+    dropout_metrics: bool = False,
 ) -> dict:
-    """Run a themed export; returns the manifest payload."""
+    """Run a themed export; returns the manifest payload.
+
+    `dropout_metrics=True` additionally records the reference's
+    per-entity skip diagnostics (incomplete ways / invalid relations) —
+    an extra pass over the assembly joins."""
     manifest = ExportManifest(out_dir)
     if resume:
         manifest.load_done_entries()
 
     meta = decode.with_entity_meta(docs)
+    if dropout_metrics:
+        for k, v in assemble.assembly_dropout_metrics(meta).items():
+            manifest.add_metric(k, v)
     feats = assemble.assemble_features(meta)
     feats = prefilter(feats, mapping)
 
@@ -91,8 +113,11 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
                 "xs", "ys", "ring_offsets", "part_offsets"
             )
             df.write.mode("overwrite").parquet(path)
-            rows = spark.read.parquet(path).count()
-            info = dict(format="gpkg", theme=theme.name, path=path, rows=rows)
+            parts = partition_lineage(spark, path)
+            info = dict(
+                format="gpkg", theme=theme.name, path=path,
+                rows=sum(parts.values()), partitions=parts,
+            )
             manifest.add(**info)
             manifest.mark_done(part_key, **info)
         else:
@@ -122,8 +147,11 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
                         "xs", "ys", "ring_offsets", "part_offsets"
                     )
                 df.write.mode("overwrite").parquet(path)
-                rows = spark.read.parquet(path).count()
-                info = dict(format=fmt, theme=theme.name, path=path, rows=rows, geom_type=gt)
+                parts = partition_lineage(spark, path)
+                info = dict(
+                    format=fmt, theme=theme.name, path=path,
+                    rows=sum(parts.values()), partitions=parts, geom_type=gt,
+                )
                 manifest.add(**info)
                 manifest.mark_done(part_key, **info)
 
@@ -141,7 +169,10 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest):
     tf.repartitionByRange(max(tf.rdd.getNumPartitions() // 2, 1), "z", "x", "y").write.mode(
         "overwrite"
     ).parquet(path)
-    rows = spark.read.parquet(path).count()
-    info = dict(format="tiles", theme="*", path=path, rows=rows, zooms=list(zooms))
+    parts = partition_lineage(spark, path)
+    info = dict(
+        format="tiles", theme="*", path=path,
+        rows=sum(parts.values()), partitions=parts, zooms=list(zooms),
+    )
     manifest.add(**info)
     manifest.mark_done(part_key, **info)

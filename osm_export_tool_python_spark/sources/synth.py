@@ -199,12 +199,35 @@ def _way_rows(ids, n_nodes, closed_fraction=0.45, missing_ref_fraction=0.01):
     return rows
 
 
+def _way_is_closed(way_id, closed_fraction=0.45, missing_ref_fraction=0.01):
+    """Same hash draws as _way_rows — lets relation generation pick
+    closed member ways without materializing the way table."""
+    wid = np.asarray([way_id], dtype=np.uint64)
+    return bool(
+        (_u01(wid, 203) >= missing_ref_fraction)[0]
+        and (_u01(wid, 202) < closed_fraction)[0]
+    )
+
+
 def _rel_rows(ids, n_ways):
-    """Multipolygon relations: 1 outer way + 0..2 inner ways.  The
-    referenced ways may be open — the ring assembler must chain or
-    reject them ('Invalid area', reference tabular.py:338-339)."""
+    """Multipolygon relations: 1 outer way + 0..2 inner ways.  Members
+    prefer CLOSED ways (scan forward from a seeded start) so most
+    relations assemble; the remainder reference open/broken ways and
+    exercise the 'Invalid area' rejection (reference tabular.py:338-339)."""
     ids_u = np.asarray(ids, dtype=np.uint64)
-    outer = (_u01(ids_u, 400) * n_ways).astype(np.int64).tolist()
+
+    def pick_closed(start):
+        for k in range(n_ways):
+            w = (start + k) % n_ways
+            if _way_is_closed(w):
+                return w
+        return start % n_ways
+
+    raw = (_u01(ids_u, 400) * n_ways).astype(np.int64)
+    keep_open = _u01(ids_u, 402) < 0.15  # leave some invalid on purpose
+    outer = [
+        int(r) if ko else pick_closed(int(r)) for r, ko in zip(raw, keep_open)
+    ]
     n_inner = (_u01(ids_u, 401) * 3).astype(np.int64).tolist()
     tag_lists = entity_tags(ids_u, salt_base=500)
     rows = []
@@ -221,7 +244,7 @@ def _rel_rows(ids, n_ways):
         off = len(spans)
         members = [("outer", outer[i])]
         for j in range(n_inner[i]):
-            members.append(("inner", (outer[i] + 1 + j) % n_ways))
+            members.append(("inner", pick_closed(outer[i] + 1 + j)))
         for j, (role, w) in enumerate(members):
             spans.append(
                 {
