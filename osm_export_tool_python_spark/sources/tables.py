@@ -1,0 +1,57 @@
+"""Cell-partitioned feature storage: the engine's Iceberg-style layout
+for spatial partition pruning (SURVEY.md §4 'Partition pruning
+(spatial)'; reference small-AOI fast path sources.py:171-184).
+
+Features are written `partitionBy(cell_prefix)` where cell_prefix is
+the quadkey cell at a coarse zoom; an AOI scan then becomes
+
+    spark.read.parquet(path).where(col('cell_prefix').isin(aoi_cover))
+
+which Spark resolves at PLANNING time into partition-directory pruning
+— untouched directories are never listed or read.  At 100 TB this is
+the difference between scanning the planet and scanning the AOI's
+neighborhood; the same column doubles as the range-partitioning /
+clustering key for write locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.tiles import cell_col, tile_x_col, tile_y_col
+
+DEFAULT_PREFIX_ZOOM = 4
+
+
+def with_cell_prefix(features: DataFrame, zoom: int = DEFAULT_PREFIX_ZOOM) -> DataFrame:
+    """Multi-assign each feature to EVERY coarse cell its bbox covers
+    (exploded `cell_prefix` rows).  A feature larger than one cell is
+    duplicated into each overlapping partition — the classic spatial
+    partitioning layout (exact pruning for any feature size at the cost
+    of bbox-overlap duplication; readers dedupe on (osm_id, src))."""
+    from ..operators.tiles import with_tile_cells
+
+    # world at the prefix zoom has 4^zoom cells — no cap needed below z6
+    out = with_tile_cells(features, zoom, zoom, max_cells_per_zoom=4 ** zoom + 1)
+    return out.withColumnRenamed("cell", "cell_prefix")
+
+
+def write_cell_partitioned(
+    features: DataFrame, path: str, zoom: int = DEFAULT_PREFIX_ZOOM
+) -> None:
+    """Materialize the feature table partitioned by cell prefix."""
+    with_cell_prefix(features, zoom).write.mode("overwrite").partitionBy(
+        "cell_prefix"
+    ).parquet(path)
+
+
+def read_aoi_pruned(
+    spark, path: str, aoi, zoom: int = DEFAULT_PREFIX_ZOOM, dedupe=("osm_id", "src")
+) -> DataFrame:
+    """Scan only the partitions whose cell prefix overlaps the AOI
+    cover; duplicates from multi-assignment are dropped on (osm_id,
+    src).  Planning-time partition pruning — unread directories are
+    never listed."""
+    prune = sorted(aoi.prune_cells(zoom))
+    df = spark.read.parquet(path).where(F.col("cell_prefix").isin(prune))
+    return df.dropDuplicates(list(dedupe))
