@@ -358,7 +358,7 @@ def q_events_sessionize(spark, sf_dir):
 
 
 SQL_EVENTS_SESSIONIZE = """
-SELECT user_id, SUM(s) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
@@ -776,47 +776,274 @@ SQL_OSM_SPAN_ROUNDTRIP = "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM document
 
 
 # ---------------------------------------------------------------------------
-# OSM engine: non-SQL-expressible (rows-only driver check; exactness is
-# covered by the pytest suite instead)
+# OSM engine: end-to-end pipelines over oracle-visible inputs.  The
+# q_osm_way_assembly pattern generalized: documents are built FROM
+# relational tables (lineitem/customer) with pure Column ops, the REAL
+# engine pipeline (decode → assembly → themes / tiles) runs on them,
+# and DuckDB recomputes the expected outputs directly from the tables.
 # ---------------------------------------------------------------------------
 
+_EMPTY_SPANS = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _tag_span(text_col, offset_col):
+    return F.struct(
+        F.lit("tag").alias("kind"),
+        text_col.alias("text"),
+        F.lit("").alias("media_ref"),
+        offset_col.cast("int").alias("offset"),
+    )
+
+
 def q_osm_flagship_export(spark, sf_dir):
+    """Full themed export over an interleaved documents table derived
+    from lineitem: one way per order (refs = sorted distinct part keys,
+    every 4th order ring-closed + building-tagged), one node per part
+    key (every 7th amenity-tagged).  Runs decode → way⋈node assembly →
+    closed-way polygon routing → theme fan-out, aggregated to
+    per-(theme, geom_type) counts that DuckDB derives straight from
+    lineitem."""
     from ..functions.mapping import Mapping
     from ..operators import assemble
     from ..operators.themes import prefilter, theme_fanout
-    from ..sources import decode, synth
+    from ..sources import decode
 
-    docs = synth.synthesize(spark, n_nodes=3000, n_ways=800, n_rels=40)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 4000)
+
+    pk = F.col("l_partkey")
+    node_docs = li.select("l_partkey").distinct().select(
+        F.concat(F.lit("node/"), pk.cast("string")).alias("doc_id"),
+        F.concat(
+            F.when(
+                pk % 7 == 0, F.array(_tag_span(F.lit("amenity=cafe"), F.lit(0)))
+            ).otherwise(F.array().cast(_EMPTY_SPANS)),
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("point").alias("text"),
+                    decode.wkb_point_encode(
+                        ((pk * 7) % 3600) / 10.0 - 180.0 + 0.05,
+                        ((pk * 13) % 1600) / 10.0 - 80.0 + 0.05,
+                    ).alias("media_ref"),
+                    F.when(pk % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+                    .cast("int")
+                    .alias("offset"),
+                )
+            ),
+        ).alias("spans"),
+    )
+
+    ways = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("refs")
+    )
+    r = F.col("l_orderkey") % 4
+    # every 4th order is a ring: repeat the first ref last (closed way)
+    refs = F.when(r == 0, F.concat("refs", F.slice("refs", 1, 1))).otherwise(
+        F.col("refs")
+    )
+    tag_texts = (
+        F.when(r == 0, F.array(F.lit("building=yes")))
+        .when(r == 1, F.array(F.lit("highway=residential")))
+        .when(
+            r == 2,
+            F.array(
+                F.lit("highway=primary"),
+                F.concat(F.lit("name=name "), F.col("l_orderkey").cast("string")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    ntags = F.size(tag_texts)
+    tag_spans = F.transform(tag_texts, lambda t, i: _tag_span(t, i))
+    ref_spans = F.transform(
+        refs,
+        lambda n, i: F.struct(
+            F.lit("ref").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("node/"), n.cast("string")).alias("media_ref"),
+            (i + ntags).cast("int").alias("offset"),
+        ),
+    )
+    way_docs = ways.select(
+        F.concat(F.lit("way/"), F.col("l_orderkey").cast("string")).alias("doc_id"),
+        F.concat(tag_spans, ref_spans).alias("spans"),
+    )
+
+    docs = node_docs.unionByName(way_docs)
     mapping = Mapping(
-        "buildings:\n  types: [polygons]\n  select: [name, building]\n"
-        "  where: building = 'yes'\n"
+        "buildings:\n  types: [polygons]\n  select: [building, name]\n"
+        "  where: building IS NOT NULL\n"
         "roads:\n  types: [lines]\n  select: [highway, name]\n"
         "  where: highway IS NOT NULL\n"
+        "pois:\n  types: [points]\n  select: [amenity]\n"
+        "  where: amenity IS NOT NULL\n"
     )
     feats = prefilter(assemble.assemble_features(decode.with_entity_meta(docs)), mapping)
     return (
         theme_fanout(feats, mapping)
         .groupBy("theme", "geom_type")
         .agg(F.count("*").alias("n_features"))
-        .orderBy("theme", "geom_type")
     )
 
 
-def q_osm_tile_table(spark, sf_dir):
-    from ..operators import assemble
-    from ..operators.tiles import tile_counts
-    from ..sources import decode, synth
+SQL_OSM_FLAGSHIP_EXPORT = """
+WITH w AS (
+  SELECT l_orderkey AS id, COUNT(DISTINCT l_partkey) AS n
+  FROM lineitem WHERE l_orderkey < 4000 GROUP BY l_orderkey
+), nd AS (
+  SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_orderkey < 4000
+)
+SELECT 'buildings' AS theme, 'polygon' AS geom_type, COUNT(*) AS n_features
+FROM w WHERE id % 4 = 0 AND n >= 3
+UNION ALL
+SELECT 'roads', 'line', COUNT(*) FROM w WHERE id % 4 IN (1, 2)
+UNION ALL
+SELECT 'pois', 'point', COUNT(*) FROM nd WHERE pk % 7 = 0
+"""
 
-    docs = synth.synthesize(spark, n_nodes=3000, n_ways=800, n_rels=40)
-    feats = assemble.assemble_features(decode.with_entity_meta(docs))
-    return tile_counts(feats, 2, 5)
+
+def q_osm_tile_table(spark, sf_dir):
+    """The packed tile table (salted two-phase agg, operators/tiles.py
+    tile_features) over customer-derived point features; the oracle
+    recomputes each point's XYZ tile per zoom and packs ids with an
+    ordered string_agg → md5 digest."""
+    from ..operators.tiles import tile_features
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 2000)
+    k = F.col("c_custkey")
+    feats = c.select(
+        k.cast("long").alias("osm_id"),
+        F.array(((k * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("xs"),
+        F.array(((k * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("ys"),
+    )
+    tf = tile_features(feats, 2, 5)
+    return tf.select(
+        "z",
+        "x",
+        "y",
+        "n_features",
+        F.md5(F.concat_ws(",", F.col("osm_ids").cast("array<string>"))).alias("ids_md5"),
+    )
+
+
+SQL_OSM_TILE_TABLE = """
+WITH pts AS (
+  SELECT c_custkey AS osm_id,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer WHERE c_custkey < 2000
+), assigned AS (
+  SELECT CAST(z AS INT) AS z,
+         CAST(floor((lon + 180.0) / 360.0 * pow(2.0, z)) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi())
+                    / 2.0 * pow(2.0, z)) AS BIGINT) AS y,
+         osm_id
+  FROM pts, UNNEST(generate_series(2, 5)) t(z)
+)
+SELECT z, x, y, COUNT(*) AS n_features,
+       md5(string_agg(CAST(osm_id AS VARCHAR), ',' ORDER BY osm_id)) AS ids_md5
+FROM assigned GROUP BY z, x, y
+"""
+
+
+def _sm64_cols(inp, p):
+    """Six chained lateral-alias SQL columns computing SplitMix64(inp)
+    in DuckDB — bit-exact vs sources/synth._splitmix64 (verified over
+    the full uint64 range).  The 64-bit multiply is emulated with a
+    32-bit limb split so HUGEINT (int128) never overflows; xors/shifts
+    run in UBIGINT."""
+    M = "18446744073709551616"
+    steps = [
+        "(({inp}) + 11400714819323198485) % {M} AS {p}0",
+        "CAST(xor(CAST({p}0 AS UBIGINT), CAST({p}0 AS UBIGINT) >> 30) AS HUGEINT) AS {p}1",
+        "(((({p}1 // 4294967296) * 484763065 + ({p}1 % 4294967296) * 3210233709)"
+        " % 4294967296) * 4294967296 + ({p}1 % 4294967296) * 484763065) % {M} AS {p}2",
+        "CAST(xor(CAST({p}2 AS UBIGINT), CAST({p}2 AS UBIGINT) >> 27) AS HUGEINT) AS {p}3",
+        "(((({p}3 // 4294967296) * 321982955 + ({p}3 % 4294967296) * 2496678331)"
+        " % 4294967296) * 4294967296 + ({p}3 % 4294967296) * 321982955) % {M} AS {p}4",
+        "CAST(xor(CAST({p}4 AS UBIGINT), CAST({p}4 AS UBIGINT) >> 31) AS HUGEINT) AS {p}out",
+    ]
+    return ",\n         ".join(s.format(inp=inp, M=M, p=p) for s in steps)
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal plumbing with a closed-form oracle: the synthetic
+    payload is SplitMix64 bytes, so DuckDB recomputes the exact byte
+    sum per media row (integer — no fp fragility), plus feat_dim and
+    the meta-derived tail feature (h/64 for images, n_frames for
+    video; audio's tail is payload-statistical → NULL on both sides)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # resolve string annotations (future-annotations module)
+    from pyspark.sql.functions import pandas_udf
+
     from ..operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=120)
-    return extract_features(media).select("media_id", "kind", "feat_dim")
+
+    @pandas_udf("long")
+    def psum(p: pd.Series) -> pd.Series:
+        # demo-scale (120 rows); a hot-path version would concat the
+        # batch into one buffer with np.add.reduceat over offsets
+        return p.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum()))
+
+    sums = media.select("media_id", psum("payload").alias("payload_sum"))
+    return (
+        extract_features(media)
+        .join(sums, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "feat_dim",
+            "payload_sum",
+            F.when(
+                F.col("kind") != "audio",
+                F.try_element_at("feat", F.lit(-1)).cast("double"),
+            ).alias("tail_feat"),
+        )
+    )
+
+
+SQL_MEDIA_FEATURES = (
+    """
+WITH m AS (
+  SELECT i,
+         CAST(i AS HUGEINT) AS ih,
+         ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+         CAST(8 + i % 8 AS INT) AS w,
+         CAST(8 + i % 4 AS INT) AS h
+  FROM generate_series(0, 119) t(i)
+), m2 AS (
+  SELECT *, CASE WHEN kind = 'image' THEN w * h * 3 ELSE 256 END AS nbytes FROM m
+), seeds AS (
+  SELECT i, kind, w, h, nbytes,
+         """
+    + _sm64_cols("ih", "s")
+    + """
+  FROM m2
+), expanded AS (
+  SELECT i, sout, CAST(j AS HUGEINT) AS j
+  FROM seeds, UNNEST(generate_series(0, nbytes - 1)) u(j)
+), bytes AS (
+  SELECT i,
+         """
+    + _sm64_cols("(sout + j) % 18446744073709551616", "b")
+    + """,
+         bout % 256 AS byte
+  FROM expanded
+), sums AS (
+  SELECT i, CAST(SUM(byte) AS BIGINT) AS payload_sum FROM bytes GROUP BY i
+)
+SELECT CAST(s.i AS BIGINT) AS media_id,
+       s.kind,
+       CASE WHEN s.kind = 'image' THEN 5 ELSE 2 END AS feat_dim,
+       su.payload_sum,
+       CASE WHEN s.kind = 'image' THEN s.h / 64.0
+            WHEN s.kind = 'video' THEN 16.0 END AS tail_feat
+FROM seeds s JOIN sums su USING (i)
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -855,8 +1082,7 @@ QUERIES = {
     "osm_way_assembly": (q_osm_way_assembly, SQL_OSM_WAY_ASSEMBLY),
     "osm_theme_match": (q_osm_theme_match, SQL_OSM_THEME_MATCH),
     "osm_span_roundtrip": (q_osm_span_roundtrip, SQL_OSM_SPAN_ROUNDTRIP),
-    # rows-only (non-SQL-expressible)
-    "osm_flagship_export": (q_osm_flagship_export, None),
-    "osm_tile_table": (q_osm_tile_table, None),
-    "media_features": (q_media_features, None),
+    "osm_flagship_export": (q_osm_flagship_export, SQL_OSM_FLAGSHIP_EXPORT),
+    "osm_tile_table": (q_osm_tile_table, SQL_OSM_TILE_TABLE),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }

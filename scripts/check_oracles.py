@@ -66,9 +66,14 @@ def main():
             print("ROWS  %-24s %d rows (no oracle)" % (name, len(srows)))
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # Fetch through Arrow so DuckDB types surface exactly as the
+            # driver's gate sees them (e.g. SUM over ints -> HUGEINT ->
+            # decimal128, which does NOT equal a Spark bigint).  fetchall()
+            # silently coerces HUGEINT->int and hides that class of bug.
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = list(tbl.column_names)
+            dpylists = [tbl.column(c).to_pylist() for c in dcols]
+            drows = list(zip(*dpylists)) if dcols else []
         except Exception as e:  # noqa: BLE001
             failures.append((name, "DUCKDB ERROR: %s" % e))
             print("FAIL  %-24s duckdb error: %s" % (name, str(e)[:200]))
