@@ -113,9 +113,17 @@ def cell_decode(cell):
 
 
 def cell_parent(cell, parent_zoom):
-    """Ancestor cell at a coarser zoom (prefix in quadkey space)."""
+    """Ancestor cell at a coarser zoom (prefix in quadkey space).
+    `parent_zoom` must not exceed the cells' own zoom — the uint64
+    (z - parent_zoom) would underflow and silently produce garbage
+    parents (e.g. pruning away valid partitions)."""
     c = np.asarray(cell).astype(np.uint64)
     z = c & np.uint64(0x1F)
+    if c.size and int(parent_zoom) > int(z.min()):
+        raise ValueError(
+            "cell_parent: parent_zoom %d is finer than cell zoom %d"
+            % (int(parent_zoom), int(z.min()))
+        )
     m = c >> np.uint64(5)
     shift = (np.uint64(2) * (z - np.uint64(parent_zoom))).astype(np.uint64)
     return ((m >> shift) << np.uint64(5) | np.uint64(parent_zoom)).astype(np.int64)

@@ -116,6 +116,9 @@ def closed_way_polygon_features(wcoords: DataFrame) -> DataFrame:
     return (
         wcoords.where(F.col("complete") & (F.size("tags") > 0))
         .where(F.col("is_closed") & is_poly)
+        # a valid ring needs >= 4 points (incl. the closing repeat) —
+        # osmium's area assembler rejects shorter ones ('Invalid area')
+        .where(F.size("xs") >= 4)
         .select(
             F.col("way_id").alias("osm_id"),
             F.lit("way").alias("src"),
@@ -189,7 +192,12 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("member_seq")
 
     def segs(role):
-        rows = pdf[pdf["role"] == role]
+        # osmium's area assembler treats blank/unknown member roles as
+        # outer — only an explicit 'inner' makes a hole
+        if role == "outer":
+            rows = pdf[pdf["role"] != "inner"]
+        else:
+            rows = pdf[pdf["role"] == role]
         return [
             np.stack([np.asarray(r.xs), np.asarray(r.ys)], axis=1)
             for r in rows.itertuples()

@@ -80,6 +80,11 @@ class AOI:
         cells = np.array(sorted(self.cover), dtype=np.int64)
         if zoom == self.cover_zoom:
             return set(int(c) for c in cells)
+        if zoom > self.cover_zoom:
+            raise ValueError(
+                "prune_cells zoom %d is finer than the AOI cover zoom %d; "
+                "build the AOI with cover_zoom>=%d" % (zoom, self.cover_zoom, zoom)
+            )
         return set(int(c) for c in np.unique(cell_parent(cells, zoom)))
 
 

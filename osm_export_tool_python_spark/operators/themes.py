@@ -67,49 +67,74 @@ def theme_output(themed: DataFrame, theme, polygon_centroid=False) -> DataFrame:
 
 def polygons_to_centroids(df: DataFrame) -> DataFrame:
     """polygon→centroid-point mode (reference tabular.py:252,332-334).
-    Shoelace centroid of the first (outer) ring, pure Column math via
-    aggregate over the coordinate arrays."""
-    n = F.try_element_at("ring_offsets", F.lit(2))  # end of first ring
-    xs = F.slice("xs", 1, n)
-    ys = F.slice("ys", 1, n)
-    # cross_i = x_i*y_{i+1} - x_{i+1}*y_i over the closed ring
-    idx = F.sequence(F.lit(1), n - 1)
-    cross = F.transform(
-        idx,
-        lambda i: F.try_element_at(xs, i) * F.try_element_at(ys, i + 1)
-        - F.try_element_at(xs, i + 1) * F.try_element_at(ys, i),
+
+    OGR ``Centroid()`` semantics over the WHOLE multipolygon: hole-signed
+    shoelace accumulated across every ring of every part — each part's
+    first ring (outer) adds area, subsequent rings (holes) subtract, and
+    each ring's orientation is normalized by the sign of its own shoelace
+    area so stored vertex order doesn't matter.  Pure Column math."""
+    n_rings = F.size("ring_offsets") - 1
+    # 0-based ring q is an OUTER ring iff it starts a part
+    outers = F.slice(
+        "part_offsets", 1, F.greatest(F.size("part_offsets") - 1, F.lit(0))
     )
-    area2 = F.aggregate(cross, F.lit(0.0), lambda acc, c: acc + c)
-    cx_num = F.aggregate(
-        F.transform(
-            idx,
-            lambda i: (F.try_element_at(xs, i) + F.try_element_at(xs, i + 1))
-            * (
-                F.try_element_at(xs, i) * F.try_element_at(ys, i + 1)
-                - F.try_element_at(xs, i + 1) * F.try_element_at(ys, i)
+
+    def ring_stats(q):
+        s = F.try_element_at(F.col("ring_offsets"), (q + 1).cast("int"))
+        e = F.try_element_at(F.col("ring_offsets"), (q + 2).cast("int"))
+        idx = F.sequence(s + 1, e - 1)  # 1-based vertex positions (closed ring)
+        cross = lambda i: (  # noqa: E731
+            F.try_element_at(F.col("xs"), i.cast("int"))
+            * F.try_element_at(F.col("ys"), (i + 1).cast("int"))
+            - F.try_element_at(F.col("xs"), (i + 1).cast("int"))
+            * F.try_element_at(F.col("ys"), i.cast("int"))
+        )
+        area2 = F.aggregate(
+            F.transform(idx, lambda i: cross(i)), F.lit(0.0), lambda a, c: a + c
+        )
+        cxn = F.aggregate(
+            F.transform(
+                idx,
+                lambda i: (
+                    F.try_element_at(F.col("xs"), i.cast("int"))
+                    + F.try_element_at(F.col("xs"), (i + 1).cast("int"))
+                )
+                * cross(i),
             ),
-        ),
-        F.lit(0.0),
-        lambda acc, c: acc + c,
-    )
-    cy_num = F.aggregate(
-        F.transform(
-            idx,
-            lambda i: (F.try_element_at(ys, i) + F.try_element_at(ys, i + 1))
-            * (
-                F.try_element_at(xs, i) * F.try_element_at(ys, i + 1)
-                - F.try_element_at(xs, i + 1) * F.try_element_at(ys, i)
+            F.lit(0.0),
+            lambda a, c: a + c,
+        )
+        cyn = F.aggregate(
+            F.transform(
+                idx,
+                lambda i: (
+                    F.try_element_at(F.col("ys"), i.cast("int"))
+                    + F.try_element_at(F.col("ys"), (i + 1).cast("int"))
+                )
+                * cross(i),
             ),
-        ),
-        F.lit(0.0),
-        lambda acc, c: acc + c,
-    )
-    # degenerate ring (area 0): fall back to vertex mean
+            F.lit(0.0),
+            lambda a, c: a + c,
+        )
+        # +1 outer / -1 hole, times orientation sign → additive weight
+        role = F.when(F.exists(outers, lambda p: p.cast("long") == q), F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        w = role * F.signum(area2)
+        return F.struct(
+            (w * area2).alias("a"), (w * cxn).alias("cxn"), (w * cyn).alias("cyn")
+        )
+
+    stats = F.transform(F.sequence(F.lit(0), n_rings - 1), lambda q: ring_stats(q))
+    area2 = F.aggregate(stats, F.lit(0.0), lambda a, s: a + s.a)
+    cx_num = F.aggregate(stats, F.lit(0.0), lambda a, s: a + s.cxn)
+    cy_num = F.aggregate(stats, F.lit(0.0), lambda a, s: a + s.cyn)
+    # degenerate (zero total area): fall back to the mean of all vertices
     cx = F.when(area2 != 0.0, cx_num / (F.lit(3.0) * area2)).otherwise(
-        F.aggregate(xs, F.lit(0.0), lambda a, v: a + v) / F.size(xs)
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda a, v: a + v) / F.size("xs")
     )
     cy = F.when(area2 != 0.0, cy_num / (F.lit(3.0) * area2)).otherwise(
-        F.aggregate(ys, F.lit(0.0), lambda a, v: a + v) / F.size(ys)
+        F.aggregate(F.col("ys"), F.lit(0.0), lambda a, v: a + v) / F.size("ys")
     )
     is_poly = F.col("geom_type") == "polygon"
     return (

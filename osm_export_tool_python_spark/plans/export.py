@@ -31,15 +31,19 @@ TABULAR_FORMATS = ("gpkg", "shp", "kml")
 def partition_lineage(spark, path: str) -> dict:
     """Per-partition (output file) row counts — the lineage record the
     north rule asks for ('resumable from checkpoint with per-partition
-    lineage + metrics').  One scan yields both the per-file map and the
-    part's total."""
-    df = spark.read.parquet(path)
-    rows = (
-        df.groupBy(F.input_file_name().alias("f"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    return {os.path.basename(r["f"]): r["n"] for r in rows}
+    lineage + metrics').
+
+    Reads ONLY parquet footers (a few KB per file), never the data
+    pages — the previous implementation re-scanned every written
+    dataset (a second full pass of the write path's I/O at scale)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        out[name] = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return out
 
 
 def export(
@@ -122,8 +126,19 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
             manifest.mark_done(part_key, **info)
         else:
             # per (theme, geomtype) datasets (Shapefile/Kml writers,
-            # tabular.py:86-144 / :32-84)
-            for gt in theme.geom_type_names():
+            # tabular.py:86-144 / :32-84).  In centroid mode polygons
+            # are rewritten to points upstream, so they land in the
+            # point dataset; a polygons-only theme has nowhere to put
+            # them — fail loudly like the reference's
+            # layers[(name, GeomType.POINT)] KeyError (tabular.py:330-336).
+            enabled = theme.geom_type_names()
+            if polygon_centroid and "polygon" in enabled and "point" not in enabled:
+                raise ValueError(
+                    "polygon_centroid routes theme %r polygons to its POINT "
+                    "layer, which the theme does not enable (%s output)"
+                    % (theme.name, fmt)
+                )
+            for gt in enabled:
                 part_key = "%s/%s/%s" % (fmt, theme.name, gt)
                 path = os.path.join(
                     out_dir, fmt, "%s_%s" % (make_filename(theme.name), gt)
@@ -166,9 +181,10 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest):
     # which is theme-independent raster fetch)
     uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
     tf = tile_features(uniq, zooms[0], zooms[1])
-    tf.repartitionByRange(max(tf.rdd.getNumPartitions() // 2, 1), "z", "x", "y").write.mode(
-        "overwrite"
-    ).parquet(path)
+    # partition count from cluster parallelism — tf.rdd.getNumPartitions()
+    # would force plan materialization and bypass AQE just to pick a number
+    n_out = max(spark.sparkContext.defaultParallelism // 2, 1)
+    tf.repartitionByRange(n_out, "z", "x", "y").write.mode("overwrite").parquet(path)
     parts = partition_lineage(spark, path)
     info = dict(
         format="tiles", theme="*", path=path,

@@ -147,8 +147,10 @@ def entities_table(docs_meta: DataFrame) -> DataFrame:
         F.when(F.col("src") == "node", pt.lat).alias("lat"),
         F.when(F.col("src") == "way", ref_ids).alias("ref_ids"),
         F.when(F.col("src") == "way", F.size(refs)).alias("n_refs"),
+        # osmium is_closed() is first==last regardless of length; rings
+        # too short to be areas are rejected by the polygon path instead
         F.when(
-            F.col("src") == "way", (F.size(refs) >= 4) & (first == last)
+            F.col("src") == "way", F.coalesce(first == last, F.lit(False))
         ).alias("is_closed"),
         F.when(
             F.col("src") == "rel", F.transform(members, lambda s: s.text)
@@ -238,7 +240,8 @@ def ways_table(docs_meta: DataFrame) -> DataFrame:
         F.col("orig_id").alias("way_id"),
         "tags",
         F.size(refs).alias("n_refs"),
-        ((F.size(refs) >= 4) & (first == last)).alias("is_closed"),
+        # osmium semantics: closed iff first==last (length-independent)
+        F.coalesce(first == last, F.lit(False)).alias("is_closed"),
     )
 
 

@@ -115,3 +115,75 @@ def test_export_with_aoi_and_centroids(spark, docs, tmp_path_factory):
     for r in rows:
         x, y = r["geometry"][7:-1].split(" ")
         assert -0.5 <= float(x) <= 20.5 and 39.5 <= float(y) <= 55.5
+
+
+def _poly_row(osm_id, rings, part_offsets):
+    """Packed multipolygon row: rings are lists of (x, y) with the first
+    vertex NOT repeated (storage closes them)."""
+    xs, ys, ring_offsets = [], [], [0]
+    for ring in rings:
+        closed = list(ring) + [ring[0]]
+        xs.extend(p[0] for p in closed)
+        ys.extend(p[1] for p in closed)
+        ring_offsets.append(len(xs))
+    return (osm_id, "polygon", xs, ys, ring_offsets, part_offsets)
+
+
+def test_centroid_donut_and_multipart(spark):
+    """Hole-signed whole-multipolygon centroid (OGR Centroid() semantics,
+    reference tabular.py:333) vs a closed-form area-weighted oracle."""
+    from osm_export_tool_python_spark.operators.themes import polygons_to_centroids
+
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    # hole deliberately stored in the SAME (ccw) orientation as the outer:
+    # classification must come from part structure, not vertex order
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)]
+    part_a = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    part_b = [(10.0, 0.0), (12.0, 0.0), (12.0, 2.0), (10.0, 2.0)]
+
+    rows = [
+        _poly_row(1, [outer, hole], [0, 2]),
+        _poly_row(2, [part_a, part_b], [0, 1, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "osm_id long, geom_type string, xs array<double>, ys array<double>, "
+        "ring_offsets array<int>, part_offsets array<int>",
+    )
+    got = {r["osm_id"]: (r["xs"][0], r["ys"][0]) for r in polygons_to_centroids(df).collect()}
+
+    # donut: (100*5 - 16*4) / (100 - 16) per axis
+    assert got[1][0] == pytest.approx(436.0 / 84.0)
+    assert got[1][1] == pytest.approx(436.0 / 84.0)
+    # two parts: areas 1 and 4, centroids (.5,.5) and (11,1)
+    assert got[2][0] == pytest.approx((1 * 0.5 + 4 * 11.0) / 5.0)
+    assert got[2][1] == pytest.approx((1 * 0.5 + 4 * 1.0) / 5.0)
+
+
+def test_centroid_shp_routing(spark, docs, tmp_path_factory):
+    """Centroid mode on shp/kml: centroids land in the theme's POINT
+    dataset (reference Handler.area writes GeomType.POINT, tabular.py:
+    330-336); a polygons-only theme fails loudly like the reference's
+    layer KeyError."""
+    out = str(tmp_path_factory.mktemp("export_shp_centroid"))
+    both = Mapping(
+        "structures:\n  types: [points, polygons]\n  select: [building]\n"
+        "  where: building IS NOT NULL\n"
+    )
+    export(spark, docs, both, out, formats=("shp",), polygon_centroid=True)
+    pdf = spark.read.parquet(os.path.join(out, "shp", "structures_point"))
+    # centroids (negative/way osm_ids from polygons) joined the node points
+    assert pdf.count() > 0
+    assert pdf.where(~F.col("geometry").startswith("POINT")).count() == 0
+    gdf = spark.read.parquet(os.path.join(out, "shp", "structures_polygon"))
+    assert gdf.count() == 0  # layer exists (parity) but is empty
+
+    poly_only = Mapping(
+        "structures:\n  types: [polygons]\n  select: [building]\n"
+        "  where: building IS NOT NULL\n"
+    )
+    with pytest.raises(ValueError, match="POINT"):
+        export(
+            spark, docs, poly_only, str(tmp_path_factory.mktemp("export_fail")),
+            formats=("shp",), polygon_centroid=True,
+        )

@@ -66,7 +66,8 @@ def test_way_refs_and_closedness(spark):
         by_way.setdefault(r["way_id"], {})[r["seq"]] = r["node_id"]
     for wid, m in by_way.items():
         seq = [m[i] for i in range(len(m))]
-        assert (seq[0] == seq[-1] and len(seq) >= 4) == (wid in closed_ids)
+        # osmium semantics: closed iff first==last, length-independent
+        assert (seq[0] == seq[-1]) == (wid in closed_ids)
 
 
 def test_members_decode(spark):
