@@ -214,6 +214,94 @@ def polyline_crosses_rings(pts, rings):
     return False
 
 
+def batch_edges_cross_rings(pts, edge_valid, owner, n_owners, rings,
+                            chunk_pairs=4_000_000):
+    """Per-owner 'any edge properly crosses any ring edge' over ONE
+    packed batch of features.
+
+    pts: (N,2) concatenated vertices; edge_valid: (N-1,) mask of real
+    edges (False where consecutive points belong to different rings or
+    features); owner: (N-1,) owning-feature index per edge; n_owners:
+    number of features.  Vectorized feature_edges × ring_edges with
+    chunking to bound the pair matrix."""
+    out = np.zeros(n_owners, dtype=bool)
+    if len(pts) < 2 or not edge_valid.any():
+        return out
+    p = pts[:-1][edge_valid]
+    d = (pts[1:] - pts[:-1])[edge_valid]
+    own = owner[edge_valid]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        a = r[:-1]
+        e = r[1:] - a
+        m = len(a)
+        step = max(1, chunk_pairs // max(m, 1))
+        for s in range(0, len(p), step):
+            ps, ds = p[s : s + step], d[s : s + step]
+            w0 = a[None, :, 0] - ps[:, None, 0]
+            w1 = a[None, :, 1] - ps[:, None, 1]
+            v0 = (a + e)[None, :, 0] - ps[:, None, 0]
+            v1 = (a + e)[None, :, 1] - ps[:, None, 1]
+            d1 = ds[:, None, 0] * w1 - ds[:, None, 1] * w0
+            d2 = ds[:, None, 0] * v1 - ds[:, None, 1] * v0
+            u0 = -w0
+            u1 = -w1
+            q0 = ps[:, None, 0] + ds[:, None, 0] - a[None, :, 0]
+            q1 = ps[:, None, 1] + ds[:, None, 1] - a[None, :, 1]
+            d3 = e[None, :, 0] * u1 - e[None, :, 1] * u0
+            d4 = e[None, :, 0] * q1 - e[None, :, 1] * q0
+            hit = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any(axis=1)
+            np.logical_or.at(out, own[s : s + step][hit], True)
+    return out
+
+
+def _points_in_triangle(pts, a, b, c):
+    """Inclusive barycentric-sign containment (boundary counts)."""
+    p = np.asarray(pts, dtype=np.float64)
+    d1 = (b[0] - a[0]) * (p[:, 1] - a[1]) - (b[1] - a[1]) * (p[:, 0] - a[0])
+    d2 = (c[0] - b[0]) * (p[:, 1] - b[1]) - (c[1] - b[1]) * (p[:, 0] - b[0])
+    d3 = (a[0] - c[0]) * (p[:, 1] - c[1]) - (a[1] - c[1]) * (p[:, 0] - c[0])
+    return (d1 >= 0) & (d2 >= 0) & (d3 >= 0)
+
+
+def triangulate_ring(ring):
+    """Ear-clipping triangulation of a simple (possibly concave) ring.
+    Returns a list of (3,2) CCW triangles — the convex decomposition
+    that lets the Cyrus–Beck / Sutherland–Hodgman kernels cut against
+    concave AOIs exactly (clip per triangle, union of the pieces).
+    O(n²) driver-side; AOI rings are small."""
+    p = _ensure_ccw(ring)
+    idx = list(range(len(p)))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * len(p):
+        guard += 1
+        clipped_one = False
+        for k in range(len(idx)):
+            i0 = idx[k - 1]
+            i1 = idx[k]
+            i2 = idx[(k + 1) % len(idx)]
+            a, b, c = p[i0], p[i1], p[i2]
+            cr = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+            if cr <= 0:
+                continue  # reflex or degenerate corner — not an ear
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others and _points_in_triangle(p[others], a, b, c).any():
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            clipped_one = True
+            break
+        if not clipped_one:
+            # numerically degenerate polygon: give up on decomposition
+            return []
+    if len(idx) == 3:
+        tris.append(p[idx])
+    return tris
+
+
 # ---------------------------------------------------------------------------
 # convex clipping
 # ---------------------------------------------------------------------------

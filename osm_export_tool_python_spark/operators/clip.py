@@ -23,9 +23,12 @@ At 100 TB the win is step 2: the cover broadcast is a few KB–MB, the
 candidate fraction is the AOI-boundary surface area ratio, and no
 shuffle is introduced — classification and clipping are narrow maps.
 
-v1 exactness (documented in functions/geomkernel.py): cutting is exact
-for convex AOIs; concave AOIs drop non-intersecting features exactly
-but keep crossing geometries uncut.
+Exactness: cutting is exact for convex AOIs (direct Cyrus–Beck /
+Sutherland–Hodgman) AND for concave hole-free AOIs (ear-clip
+triangulation into convex pieces, clip per piece, union — pieces may
+carry splits along internal triangulation edges, which changes part
+structure but not coverage).  AOIs WITH HOLES keep the v1 policy:
+non-intersecting features drop exactly, crossing geometries stay uncut.
 """
 
 from __future__ import annotations
@@ -54,6 +57,22 @@ class AOI:
         self.cover_zoom = cover_zoom
         self._cover = None
         self.convex = len(self.rings) == 1 and gk.is_convex(self.rings[0])
+        self._clip_polys = False  # lazy; None = cutting unsupported
+
+    @property
+    def clip_polys(self):
+        """Convex pieces to cut against: the ring itself when convex, an
+        ear-clip triangulation when concave (hole-free), None when
+        cutting is unsupported (AOI with holes / degenerate ring)."""
+        if self._clip_polys is False:
+            if self.convex:
+                self._clip_polys = [self.rings[0]]
+            elif len(self.rings) == 1:
+                tris = gk.triangulate_ring(self.rings[0])
+                self._clip_polys = tris if tris else None
+            else:
+                self._clip_polys = None
+        return self._clip_polys
 
     @property
     def cover(self):
@@ -99,48 +118,17 @@ def _classify_batch(xs_min, ys_min, xs_max, ys_max, rings):
     return classify_bboxes(xs_min, ys_min, xs_max, ys_max, rings)
 
 
-def _exact_row(geom_type, xs, ys, ring_offsets, part_offsets, aoi):
-    """Exact clip of one candidate feature.  Returns updated packed
-    arrays or None (drop).  numpy per feature (batched at the Arrow
-    level; candidate sets are small by construction)."""
-    xs = np.asarray(xs, dtype=np.float64)
-    ys = np.asarray(ys, dtype=np.float64)
-    pts = np.stack([xs, ys], axis=1)
-
-    if geom_type == "point":
-        return (
-            (xs.tolist(), ys.tolist(), list(ring_offsets), list(part_offsets))
-            if gk.points_in_rings(pts[:1], aoi.rings)[0]
-            else None
-        )
-
-    any_vertex_in = bool(gk.points_in_rings(pts, aoi.rings).any())
-    # vectorized feature-edges × AOI-edges proper-crossing test
-    crosses = gk.polyline_crosses_rings(pts, aoi.rings)
-    # polygon case: AOI fully inside feature also intersects
-    aoi_first_in_feature = False
-    if geom_type == "polygon" and not (any_vertex_in or crosses):
-        rings = [
-            pts[ring_offsets[i] : ring_offsets[i + 1]]
-            for i in range(len(ring_offsets) - 1)
-        ]
-        aoi_first_in_feature = bool(gk.points_in_rings(aoi.rings[0][:1], rings)[0])
-
-    intersects = any_vertex_in or crosses or aoi_first_in_feature
-    if not intersects:
-        return None  # drop (tabular.py:296-297,323-324)
-
-    fully_inside = bool(gk.points_in_rings(pts, aoi.rings).all()) and not crosses
-    if fully_inside or not aoi.convex:
-        # contained ⇒ keep whole; concave AOI ⇒ keep uncut (v1 policy)
-        return (xs.tolist(), ys.tolist(), list(ring_offsets), list(part_offsets))
-
-    clip_poly = aoi.rings[0]
+def _cut_feature(geom_type, pts, ring_offsets, part_offsets, clip_polys):
+    """Cut ONE boundary-crossing feature against the AOI's convex
+    pieces; the union of the pieces is the exact intersection (splits
+    along internal triangulation edges are cosmetic).  Returns packed
+    arrays or None (empty intersection)."""
     if geom_type == "line":
         pieces = []
         for i in range(len(ring_offsets) - 1):
             seg = pts[ring_offsets[i] : ring_offsets[i + 1]]
-            pieces.extend(gk.clip_polyline_convex(seg, clip_poly))
+            for cp in clip_polys:
+                pieces.extend(gk.clip_polyline_convex(seg, cp))
         if not pieces:
             return None
         nxs, nys, offs = [], [], [0]
@@ -150,25 +138,101 @@ def _exact_row(geom_type, xs, ys, ring_offsets, part_offsets, aoi):
             offs.append(len(nxs))
         return (nxs, nys, offs, [0, len(offs) - 1])
 
-    # polygon: clip each ring; dropped rings vanish
+    # polygon: per part × per convex piece, outer gates its holes
     nxs, nys, roffs, poffs = [], [], [0], [0]
     for pi in range(len(part_offsets) - 1):
-        rings_in_part = range(part_offsets[pi], part_offsets[pi + 1])
-        wrote = 0
-        for ri in rings_in_part:
-            ring = pts[ring_offsets[ri] : ring_offsets[ri + 1]]
-            clipped = gk.clip_ring_convex(ring, clip_poly)
-            if len(clipped) >= 3:
-                closed = np.vstack([clipped, clipped[0]])
+        ring_ids = range(part_offsets[pi], part_offsets[pi + 1])
+        rings = [pts[ring_offsets[ri] : ring_offsets[ri + 1]] for ri in ring_ids]
+        for cp in clip_polys:
+            outer = gk.clip_ring_convex(rings[0], cp)
+            if len(outer) < 3:
+                continue  # part misses this piece entirely (holes ⊂ outer)
+            part_rings = [outer]
+            for hole in rings[1:]:
+                hc = gk.clip_ring_convex(hole, cp)
+                if len(hc) >= 3:
+                    part_rings.append(hc)
+            for ring in part_rings:
+                closed = np.vstack([ring, ring[0]])
                 nxs.extend(closed[:, 0].tolist())
                 nys.extend(closed[:, 1].tolist())
                 roffs.append(len(nxs))
-                wrote += 1
-        if wrote:
             poffs.append(len(roffs) - 1)
     if len(roffs) == 1:
         return None
     return (nxs, nys, roffs, poffs)
+
+
+def _exact_batch(pdf, rings, clip_polys):
+    """Batch-vectorized exact clip over one Arrow batch of boundary
+    candidates: ONE packed points_in_rings pass, ONE masked
+    feature-edges × AOI-edges crossing pass (ring-spanning phantom
+    edges excluded), then per-feature cutting ONLY for the small subset
+    that actually straddles the boundary."""
+    import pandas as pd
+
+    n = len(pdf)
+    xs_obj = pdf["xs"].to_numpy()
+    ys_obj = pdf["ys"].to_numpy()
+    sizes = np.fromiter((len(a) for a in xs_obj), dtype=np.int64, count=n)
+    feat_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=feat_off[1:])
+    pts = np.stack(
+        [
+            np.concatenate([np.asarray(a, dtype=np.float64) for a in xs_obj]),
+            np.concatenate([np.asarray(a, dtype=np.float64) for a in ys_obj]),
+        ],
+        axis=1,
+    )
+
+    inside = gk.points_in_rings(pts, rings)
+    n_in = np.add.reduceat(inside.astype(np.int64), feat_off[:-1])
+    all_in = n_in == sizes
+    any_in = n_in > 0
+
+    # real edges only: mask out edges that span a ring (or feature) end
+    ro_obj = pdf["ring_offsets"].to_numpy()
+    n_edges = max(len(pts) - 1, 0)
+    edge_valid = np.ones(n_edges, dtype=bool)
+    ends = np.concatenate(
+        [np.asarray(ro[1:], dtype=np.int64) + feat_off[i] for i, ro in enumerate(ro_obj)]
+    ) - 1
+    edge_valid[ends[(ends >= 0) & (ends < n_edges)]] = False
+    owner = np.searchsorted(feat_off, np.arange(n_edges), side="right") - 1
+    crosses = gk.batch_edges_cross_rings(pts, edge_valid, owner, n, rings)
+
+    intersects = any_in | crosses
+    # polygon-only: AOI entirely inside the feature also intersects
+    gt = pdf["geom_type"].to_numpy()
+    for i in np.nonzero((gt == "polygon") & ~intersects)[0]:
+        ro = np.asarray(ro_obj[i], dtype=np.int64)
+        base = feat_off[i]
+        feat_rings = [pts[base + ro[j] : base + ro[j + 1]] for j in range(len(ro) - 1)]
+        if gk.points_in_rings(rings[0][:1], feat_rings)[0]:
+            intersects[i] = True
+
+    fully_inside = all_in & ~crosses
+    keep_whole = intersects & (fully_inside | (clip_polys is None))
+    cut_idx = np.nonzero(intersects & ~keep_whole)[0]
+
+    kept = pdf.iloc[np.nonzero(keep_whole)[0]]
+    rows = []
+    for i in cut_idx:
+        res = _cut_feature(
+            gt[i],
+            pts[feat_off[i] : feat_off[i + 1]],
+            np.asarray(ro_obj[i], dtype=np.int64),
+            np.asarray(pdf["part_offsets"].iloc[i], dtype=np.int64),
+            clip_polys,
+        )
+        if res is None:
+            continue
+        d = pdf.iloc[i].to_dict()
+        d["xs"], d["ys"], d["ring_offsets"], d["part_offsets"] = res
+        rows.append(d)
+    if rows:
+        return pd.concat([kept, pd.DataFrame(rows)], ignore_index=True)
+    return kept
 
 
 def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
@@ -179,7 +243,9 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
     b_aoi = sc.broadcast(
         {
             "rings": [r.tolist() for r in aoi.rings],
-            "convex": aoi.convex,
+            "clip_polys": None
+            if aoi.clip_polys is None
+            else [p.tolist() for p in aoi.clip_polys],
         }
     )
 
@@ -210,23 +276,19 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
     schema = candidates.schema
 
     def exact(batches):
-        aoi_local = AOI.__new__(AOI)
         a = b_aoi.value
-        aoi_local.rings = [np.asarray(r) for r in a["rings"]]
-        aoi_local.convex = a["convex"]
+        rings = [np.asarray(r) for r in a["rings"]]
+        clip_polys = (
+            None
+            if a["clip_polys"] is None
+            else [np.asarray(p) for p in a["clip_polys"]]
+        )
         for pdf in batches:
-            rows = []
-            for t in pdf.itertuples(index=False):
-                res = _exact_row(
-                    t.geom_type, t.xs, t.ys, t.ring_offsets, t.part_offsets, aoi_local
-                )
-                if res is None:
-                    continue
-                d = t._asdict()
-                d["xs"], d["ys"], d["ring_offsets"], d["part_offsets"] = res
-                rows.append(d)
-            if rows:
-                yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            out = _exact_batch(pdf, rings, clip_polys)
+            if len(out):
+                yield out
 
     clipped = candidates.mapInPandas(exact, schema=schema)
     return kept.unionByName(clipped)

@@ -20,11 +20,8 @@ candidates semantically.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions.cells import cell_udf
 
 EARTH_RADIUS_M = 6371008.8
 
@@ -41,22 +38,42 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
-def _neighbor_cells_udf(zoom):
-    import pandas as pd
+def cell_at_zoom_col(lon, lat, zoom):
+    """Quadkey cell id as PURE Column bit math (tiles.cell_col path) —
+    keeps the whole kNN pipeline inside whole-stage codegen."""
+    from .tiles import cell_col, tile_x_col, tile_y_col
 
-    globals()["pd"] = pd
-    from pyspark.sql.functions import pandas_udf
+    z = F.lit(int(zoom))
+    return cell_col(z, tile_x_col(lon, z), tile_y_col(lat, z))
 
-    from ..functions.cells import cell_encode, cell_neighbors
 
-    @pandas_udf("array<long>")
-    def _nbrs(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cells = cell_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
-        nbrs = cell_neighbors(cells)
-        all9 = np.concatenate([cells.reshape(-1, 1), nbrs], axis=1)
-        return pd.Series([np.unique(row).tolist() for row in all9])
+def neighbor_cells_col(lon, lat, zoom):
+    """The point's cell ∪ its 8 ring neighbors as array<long>, all
+    Column bit math (replaces the former per-row pandas UDF): x wraps at
+    the antimeridian (pmod), out-of-range y duplicates the center cell
+    and array_distinct drops it — same contract as cells.cell_neighbors."""
+    from .tiles import cell_col, tile_x_col, tile_y_col
 
-    return _nbrs
+    z = F.lit(int(zoom))
+    n = F.lit(2 ** int(zoom))
+    x = tile_x_col(lon, z)
+    y = tile_y_col(lat, z)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    center = cell_col(z, x, y)
+    cells = F.transform(
+        offsets,
+        lambda o: F.when(
+            ((y + o.dy) >= 0) & ((y + o.dy) < n),
+            cell_col(z, F.pmod(x + o.dx, n), y + o.dy),
+        ).otherwise(center),
+    )
+    return F.array_distinct(cells)
 
 
 def knn_join(
@@ -73,10 +90,9 @@ def knn_join(
     base = points.select(
         F.col(id_col).alias("id"), F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")
     )
-    enc = cell_udf(zoom)
-    targets = base.withColumn("cell", enc("lon", "lat"))
+    targets = base.withColumn("cell", cell_at_zoom_col(F.col("lon"), F.col("lat"), zoom))
     queries = base.withColumn(
-        "cell", F.explode(_neighbor_cells_udf(zoom)("lon", "lat"))
+        "cell", F.explode(neighbor_cells_col(F.col("lon"), F.col("lat"), zoom))
     )
     pairs = (
         queries.alias("q")

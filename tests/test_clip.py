@@ -117,3 +117,73 @@ def test_concave_aoi_drop_only(spark):
     )
     assert set(got) == {1, 4}
     assert got[4]["xs"] == [1.0, 9.0]
+
+
+def test_concave_aoi_exact_cut(spark):
+    """Concave hole-free AOI: boundary-crossing geometries are now CUT
+    exactly (ear-clip decomposition), not kept whole — numpy oracle on
+    length / area."""
+    from osm_export_tool_python_spark.functions.geomkernel import signed_area
+
+    lshape = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10]], dtype=float
+    )
+    aoi = AOI([lshape], cover_zoom=8)
+    assert aoi.clip_polys is not None and len(aoi.clip_polys) >= 2
+    # triangulation tiles the L exactly (area 75)
+    assert sum(abs(signed_area(t)) for t in aoi.clip_polys) == pytest.approx(75.0)
+
+    got = _run(
+        spark,
+        aoi,
+        [
+            # horizontal line at y=7: inside only for x in [0,5]
+            _line(1, [(2, 7), (9, 7)]),
+            # square straddling the notch: ∩L area = 25 - 9 = 16
+            _poly(2, [(3, 3), (8, 3), (8, 8), (3, 8)]),
+            # fully in notch → dropped
+            _poly(3, [(6, 6), (9, 6), (9, 9), (6, 9)]),
+        ],
+    )
+    assert set(got) == {1, 2}
+
+    # line: union of kept pieces spans x∈[2,5] at y=7 → total length 3
+    r1 = got[1]
+    pts = np.stack([r1["xs"], r1["ys"]], axis=1)
+    total = 0.0
+    for i in range(len(r1["ring_offsets"]) - 1):
+        seg = pts[r1["ring_offsets"][i] : r1["ring_offsets"][i + 1]]
+        total += float(np.abs(np.diff(seg[:, 0])).sum() + np.abs(np.diff(seg[:, 1])).sum())
+        assert (seg[:, 1] == 7.0).all() and seg[:, 0].min() >= 2.0 and seg[:, 0].max() <= 5.0
+    assert total == pytest.approx(3.0)
+
+    # polygon: summed piece area == exact intersection area
+    r2 = got[2]
+    pts2 = np.stack([r2["xs"], r2["ys"]], axis=1)
+    area = sum(
+        abs(signed_area(pts2[r2["ring_offsets"][i] : r2["ring_offsets"][i + 1]]))
+        for i in range(len(r2["ring_offsets"]) - 1)
+    )
+    assert area == pytest.approx(16.0)
+
+
+def test_multiring_phantom_edge_not_counted(spark):
+    """A disjoint 2-part polygon whose phantom inter-part 'edge' crosses
+    the AOI must be DROPPED (the packed representation has no real edge
+    between parts)."""
+    aoi = AOI([SQUARE], cover_zoom=8)
+    # two small squares far outside, on opposite sides of the AOI: the
+    # segment between part 1's last vertex and part 2's first vertex
+    # would cross the AOI if treated as an edge
+    ring_a = [(-5.0, 4.0), (-4.0, 4.0), (-4.0, 5.0), (-5.0, 5.0)]
+    ring_b = [(14.0, 4.0), (15.0, 4.0), (15.0, 5.0), (14.0, 5.0)]
+    xs, ys, roffs, poffs = [], [], [0], [0]
+    for ring in (ring_a, ring_b):
+        closed = list(ring) + [ring[0]]
+        xs.extend(p[0] for p in closed)
+        ys.extend(p[1] for p in closed)
+        roffs.append(len(xs))
+        poffs.append(len(roffs) - 1)
+    row = (9, "relation", "polygon", {"a": "1"}, xs, ys, roffs, poffs)
+    got = _run(spark, aoi, [row])
+    assert got == {}

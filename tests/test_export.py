@@ -187,3 +187,53 @@ def test_centroid_shp_routing(spark, docs, tmp_path_factory):
             spark, docs, poly_only, str(tmp_path_factory.mktemp("export_fail")),
             formats=("shp",), polygon_centroid=True,
         )
+
+
+def test_create_package_and_posm_bundle(spark, docs, tmp_path_factory):
+    """Archive artifacts (reference package.py:10-67): zip with
+    clipping_boundary.geojson + every dataset part; tar.gz POSM bundle
+    with a typed contents manifest."""
+    import tarfile
+    import zipfile
+
+    from osm_export_tool_python_spark.plans.package import (
+        create_package,
+        create_posm_bundle,
+    )
+
+    out = str(tmp_path_factory.mktemp("export_pkg"))
+    mapping = Mapping(MAPPING_YAML)
+    aoi = [np.array([[0.0, 40.0], [20.0, 40.0], [20.0, 55.0], [0.0, 55.0]])]
+    payload = export(
+        spark, docs, mapping, out, aoi_rings=aoi,
+        formats=("gpkg", "shp", "tiles"), tile_zooms=(4, 6),
+    )
+
+    zpath = os.path.join(out, "export.zip")
+    create_package(zpath, payload["entries"], boundary_rings=aoi)
+    with zipfile.ZipFile(zpath) as z:
+        names = z.namelist()
+        assert "clipping_boundary.geojson" in names
+        gj = json.loads(z.read("clipping_boundary.geojson"))
+        assert gj["type"] == "Polygon"
+        assert gj["coordinates"][0][0] == gj["coordinates"][0][-1]  # closed
+        # at least one part per exported theme dataset
+        assert any(n.startswith("gpkg_buildings/") for n in names)
+        assert any(n.startswith("shp_roads_line/") for n in names)
+        assert any(n.endswith(".parquet") for n in names)
+
+    bpath = os.path.join(out, "bundle.tar.gz")
+    create_posm_bundle(
+        bpath, payload["entries"], title="T", name="n", description="d",
+        bbox=(0.0, 40.0, 20.0, 55.0),
+    )
+    with tarfile.open(bpath) as t:
+        names = t.getnames()
+        assert "manifest.json" in names
+        m = json.loads(t.extractfile("manifest.json").read())
+        assert m["bbox"] == [0.0, 40.0, 20.0, 55.0]
+        # typed contents: gpkg under data/, tiles typed MBTiles with zooms
+        assert any(v.get("Type") == "Geopackage" for v in m["contents"].values())
+        tiles = [v for v in m["contents"].values() if v.get("type") == "MBTiles"]
+        assert tiles and tiles[0]["minzoom"] == 4 and tiles[0]["maxzoom"] == 6
+        assert all(k in names for k in m["contents"])

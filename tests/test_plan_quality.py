@@ -75,3 +75,17 @@ def test_theme_filter_stays_in_codegen(spark, tmp_path):
     # higher-order span-decode lambdas are interpreted (not codegen-able)
     # but must still be pure JVM — no Python eval stage anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_join_is_fully_jvm_side(spark):
+    """The cell self-join kNN (encode, neighbor ring, haversine, top-k)
+    must contain NO Python evaluation — all Column bit math / codegen."""
+    from osm_export_tool_python_spark.operators.knn import knn_join
+
+    pts = spark.range(0, 200).select(
+        F.col("id").alias("osm_id"),
+        (((F.col("id") * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((F.col("id") * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("lat"),
+    )
+    plan = _plan(knn_join(pts, k=1, zoom=3))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
