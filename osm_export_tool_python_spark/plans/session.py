@@ -55,6 +55,13 @@ def default_session(master=None, app_name="spark-osm-export", shuffle_partitions
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (coalesce/skew-split) shuffles UNDER persisted
+        # frames too — the export pipeline persists its decoded entities
+        # / way-coords / themed frames, and with the default (false) every
+        # cached plan keeps the static partition count: measured 2.3x on
+        # the themed-export pipeline (9s vs 21s) plus far lower variance,
+        # because hundreds of near-empty tasks disappear
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: driver == executor; the 1g default heap thrashes
