@@ -61,8 +61,9 @@ def osm_pipeline_counts(spark, docs_path):
         decode.with_entity_meta(docs), persist_intermediate=True
     )
     filtered = prefilter(feats, mapping)
+    filtered._persisted_intermediates = feats._persisted_intermediates
     aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
-    clipped = clip_features(filtered, aoi)
+    clipped = clip_features(filtered, aoi, persist=True)
     themed = theme_fanout(clipped, mapping).persist()
     try:
         n_features = themed.count()

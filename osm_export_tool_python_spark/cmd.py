@@ -38,6 +38,16 @@ def main(argv=None):
         "--metrics", action="store_true",
         help="also record assembly dropout metrics (incomplete ways / invalid relations)",
     )
+    parser.add_argument(
+        "--package", action="store_true",
+        help="zip the exported datasets (+ clipping_boundary.geojson) into "
+        "OUT_DIR/export.zip (reference create_package)",
+    )
+    parser.add_argument(
+        "--posm-bundle", action="store_true",
+        help="tar.gz POSM bundle with typed contents manifest into "
+        "OUT_DIR/bundle.tar.gz (reference create_posm_bundle)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     parsed = parser.parse_args(argv)
 
@@ -82,6 +92,32 @@ def main(argv=None):
     print("Completed in {0} seconds.".format(round(time.time() - start, 1)))
     for entry in manifest["entries"]:
         print("%s\t%s\t%d rows\t%s" % (entry["format"], entry["theme"], entry["rows"], entry["path"]))
+
+    if parsed.package or parsed.posm_bundle:
+        from .plans.package import create_package, create_posm_bundle
+
+        if parsed.package:
+            dest = os.path.join(parsed.output_name, "export.zip")
+            create_package(dest, manifest["entries"], boundary_rings=aoi_rings)
+            print("package\t%s" % dest)
+        if parsed.posm_bundle:
+            import numpy as np
+
+            if aoi_rings is not None:
+                ring = np.vstack(aoi_rings)
+                bbox = (
+                    float(ring[:, 0].min()), float(ring[:, 1].min()),
+                    float(ring[:, 0].max()), float(ring[:, 1].max()),
+                )
+            else:
+                bbox = (-180.0, -90.0, 180.0, 90.0)
+            dest = os.path.join(parsed.output_name, "bundle.tar.gz")
+            create_posm_bundle(
+                dest, manifest["entries"], title=parsed.output_name,
+                name=os.path.basename(parsed.output_name.rstrip("/")),
+                description="spark-osm-export bundle", bbox=bbox,
+            )
+            print("bundle\t%s" % dest)
     return 0
 
 

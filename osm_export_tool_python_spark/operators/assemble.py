@@ -345,7 +345,13 @@ def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) 
     persisted = []
     entities = decode.entities_table(docs_meta)
     if persist_intermediate:
+        # persist AND materialize eagerly: the downstream union has four
+        # branches whose stages run CONCURRENTLY inside one action — on
+        # a cold cache each branch races to fill it and recomputes the
+        # whole decode scan itself (measured 4 concurrent ~175s stages
+        # at 24M docs).  One count() pays the decode exactly once.
         entities = entities.persist()
+        entities.count()
         persisted.append(entities)
     nodes = decode.nodes_from_entities(entities)
     ways = decode.ways_from_entities(entities)
@@ -354,7 +360,10 @@ def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) 
 
     wcoords = way_coords(way_refs, nodes, ways)
     if persist_intermediate:
+        # same race: lines / closed-way polygons / relation members all
+        # branch off wcoords
         wcoords = wcoords.persist()
+        wcoords.count()
         persisted.append(wcoords)
 
     pts = point_features(nodes)

@@ -235,9 +235,16 @@ def _exact_batch(pdf, rings, clip_polys):
     return kept
 
 
-def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
+def clip_features(features: DataFrame, aoi: AOI, persist: bool = False) -> DataFrame:
     """The full clip operator.  Narrow (no shuffle): classify + exact
-    kernel are both vectorized maps with the AOI broadcast."""
+    kernel are both vectorized maps with the AOI broadcast.
+
+    ``persist=True`` caches + eagerly materializes the classified frame:
+    the kept / boundary-candidate split is two branches whose stages run
+    concurrently inside the next action, and on a cold cache each one
+    recomputes the whole upstream (incl. the classify UDF) itself.
+    The cache is appended to the input's ``_persisted_intermediates``
+    list (shared object) so the pipeline owner unpersists everything."""
     spark = features.sparkSession
     sc = spark.sparkContext
     b_aoi = sc.broadcast(
@@ -270,6 +277,11 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
             F.array_min("xs"), F.array_min("ys"), F.array_max("xs"), F.array_max("ys")
         ),
     )
+    persisted = getattr(features, "_persisted_intermediates", [])
+    if persist:
+        with_cls = with_cls.persist()
+        with_cls.count()
+        persisted.append(with_cls)
     kept = with_cls.where(F.col("__clip") == "i").drop("__clip")
     candidates = with_cls.where(F.col("__clip") == "b").drop("__clip")
 
@@ -291,4 +303,6 @@ def clip_features(features: DataFrame, aoi: AOI) -> DataFrame:
                 yield out
 
     clipped = candidates.mapInPandas(exact, schema=schema)
-    return kept.unionByName(clipped)
+    out = kept.unionByName(clipped)
+    out._persisted_intermediates = persisted
+    return out

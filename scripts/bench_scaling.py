@@ -22,7 +22,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DOCS_PATH = "/tmp/spark_osm_scaling_docs"
-N_NODES, N_WAYS, N_RELS = 9_600_000, 2_400_000, 96_000
+# round 2: stretched one notch (2x round 1's 12.1M docs) so regressions
+# against a stable configuration stay detectable round-over-round
+N_NODES, N_WAYS, N_RELS = 19_200_000, 4_800_000, 192_000
 RUNS_PER_LEVEL = {2: 1, 8: 2, 32: 2}  # timed runs per level (best kept)
 LEVELS = (2, 8, 32)  # N=2, 4N=8 (primary); 32 shows the VM bandwidth ceiling
 
