@@ -75,6 +75,33 @@ class AOI:
         return self._clip_polys
 
     @property
+    def bbox(self):
+        """(W, S, E, N) over all rings."""
+        xs = np.concatenate([r[:, 0] for r in self.rings])
+        ys = np.concatenate([r[:, 1] for r in self.rings])
+        return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+    def as_rect(self):
+        """(W, S, E, N) when the AOI is exactly an axis-aligned
+        rectangle (the ubiquitous bbox-extract case), else None.  A
+        rectangle AOI makes clip classification pure Column math —
+        zero Python in the classify path."""
+        if len(self.rings) != 1:
+            return None
+        r = self.rings[0]
+        pts = r[:-1] if np.array_equal(r[0], r[-1]) else r
+        uniq = np.unique(pts, axis=0)
+        if len(uniq) != 4:
+            return None
+        xs, ys = np.unique(uniq[:, 0]), np.unique(uniq[:, 1])
+        if len(xs) != 2 or len(ys) != 2:
+            return None
+        corners = {(x, y) for x in xs for y in ys}
+        if {(p[0], p[1]) for p in uniq} != corners:
+            return None
+        return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+    @property
     def cover(self):
         if self._cover is None:
             self._cover = cover_at_zoom(
@@ -271,12 +298,23 @@ def clip_features(features: DataFrame, aoi: AOI, persist: bool = False) -> DataF
             )
         )
 
-    with_cls = features.withColumn(
-        "__clip",
-        classify(
-            F.array_min("xs"), F.array_min("ys"), F.array_max("xs"), F.array_max("ys")
-        ),
-    )
+    xmin, ymin = F.array_min("xs"), F.array_min("ys")
+    xmax, ymax = F.array_max("xs"), F.array_max("ys")
+    W, S, E, N = aoi.bbox
+    # JVM-side bbox pregate: strict disjointness from the AOI's bbox is
+    # a TRUE 'o' for any AOI shape — those rows never cross into Python.
+    disjoint = (xmax < W) | (xmin > E) | (ymax < S) | (ymin > N)
+    rect = aoi.as_rect()
+    if rect is not None:
+        # axis-aligned rectangle AOI: classification is exact in pure
+        # Column math (strictly-inside → 'i'; anything touching the
+        # boundary falls to 'b', where the exact kernel decides — a
+        # conservative routing, never a wrong class).
+        inside = (xmin > W) & (xmax < E) & (ymin > S) & (ymax < N)
+        cls = F.when(disjoint, "o").when(inside, "i").otherwise("b")
+    else:
+        cls = F.when(disjoint, "o").otherwise(classify(xmin, ymin, xmax, ymax))
+    with_cls = features.withColumn("__clip", cls)
     persisted = getattr(features, "_persisted_intermediates", [])
     if persist:
         with_cls = with_cls.persist()

@@ -228,6 +228,147 @@ WHERE a.id < b.id
 """
 
 
+def q_lsh_near_dup(spark, sf_dir):
+    """END-TO-END near-duplicate detection, fully oracled: md5-minhash
+    signatures (8 slots) → 4-band LSH bucket join → exact n-gram
+    Jaccard verify (≥ 0.5 after 6dp rounding).  The md5 variant is
+    deterministic and DuckDB-replicable, so signatures, banding, the
+    candidate join AND the verify step are all hash-checked; the
+    xxhash64 scale path (operators/dedup.py:lsh_candidate_pairs) has
+    the identical shape with a JVM-intrinsic hash.  Training-data op
+    beyond hotosm reference scope (brief requirement)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature_md5("text", n_hashes=8, shingle_n=3).alias("g"),
+        F.array_distinct(T.shingles("text", 3)).alias("sh"),
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.try_element_at("g", F.lit(2 * b + 1)),
+                        F.try_element_at("g", F.lit(2 * b + 2)),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SQL_LSH_NEAR_DUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id, list_distinct(s) AS shd,
+    [list_min(list_transform(s, x -> md5('s0|' || x))),
+     list_min(list_transform(s, x -> md5('s1|' || x))),
+     list_min(list_transform(s, x -> md5('s2|' || x))),
+     list_min(list_transform(s, x -> md5('s3|' || x))),
+     list_min(list_transform(s, x -> md5('s4|' || x))),
+     list_min(list_transform(s, x -> md5('s5|' || x))),
+     list_min(list_transform(s, x -> md5('s6|' || x))),
+     list_min(list_transform(s, x -> md5('s7|' || x)))] AS g
+  FROM sh
+), banded AS (
+  SELECT doc_id, unnest([
+     '0|' || g[1] || '|' || g[2],
+     '1|' || g[3] || '|' || g[4],
+     '2|' || g[5] || '|' || g[6],
+     '3|' || g[7] || '|' || g[8]]) AS bucket
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) AS jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) >= 0.5
+"""
+
+
+_SIMHASH_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def q_doc_simhash16(spark, sf_dir):
+    """16-bit SimHash with md5-derived bits (oracle-parity variant of
+    operators/dedup.py:simhash_col, which uses xxhash64 at scale): bit
+    j of doc = majority vote over tokens of bit 4j+3 of md5(token)
+    (i.e. hex digit j ≥ '8'), weighted by token frequency.  Strictly-
+    greater majority → deterministic tie → 0."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+
+    def bit_pred(j):
+        # closure factory — a default-arg lambda would be arity-2 and
+        # PySpark would pass the element INDEX as j (silently wrong)
+        return lambda t: F.substring(F.md5(t), j + 1, 1).isin(*_SIMHASH_HEX_HI)
+
+    sim = F.lit(0)
+    for j in range(16):
+        hit = F.size(F.filter(toks, bit_pred(j)))
+        sim = sim + F.when(hit * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return docs.select("doc_id", sim.cast("bigint").alias("simhash16"))
+
+
+SQL_DOC_SIMHASH16 = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
+    " '\\s+') AS t FROM documents)\n"
+    "SELECT doc_id, CAST(("
+    + " + ".join(
+        "CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), %d, 1) IN "
+        "('8','9','a','b','c','d','e','f'))) > len(t) THEN %d ELSE 0 END"
+        % (j + 1, 1 << j)
+        for j in range(16)
+    )
+    + ") AS BIGINT) AS simhash16 FROM toks"
+)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1059,6 +1200,8 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
+    "doc_simhash16": (q_doc_simhash16, SQL_DOC_SIMHASH16),
     # embeddings
     "embed_norms": (q_embed_norms, SQL_EMBED_NORMS),
     "embed_knn_top1": (q_embed_knn_top1, SQL_EMBED_KNN_TOP1),

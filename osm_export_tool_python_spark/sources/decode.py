@@ -66,18 +66,22 @@ def with_entity_meta(docs: DataFrame) -> DataFrame:
     """Add src ('node'|'way'|'rel'), orig_id (long), tags (map)."""
     spans = _spans_sorted()
     tag_spans = F.filter(spans, lambda s: s.kind == F.lit("tag"))
-    tags = F.map_from_entries(
-        F.transform(
-            tag_spans,
-            lambda s: F.struct(
-                F.split_part(s.text, F.lit("="), F.lit(1)).alias("key"),
-                # value may itself contain '=': strip only "key=" prefix
-                F.substring(
-                    s.text, F.length(F.split_part(s.text, F.lit("="), F.lit(1))) + 2, 2147483647
-                ).alias("value"),
-            ),
+
+    def tag_entry(s):
+        # split on the FIRST '=' only (values may contain '=').  One
+        # instr + two substrs — the split_part form allocated two split
+        # arrays per tag, measurable allocation pressure at 10^12 docs.
+        pos = F.instr(s.text, "=")
+        return F.struct(
+            F.when(pos == 0, s.text)
+            .otherwise(F.substr(s.text, F.lit(1), pos - 1))
+            .alias("key"),
+            F.when(pos == 0, F.lit(""))
+            .otherwise(F.substr(s.text, pos + 1, F.length(s.text)))
+            .alias("value"),
         )
-    )
+
+    tags = F.map_from_entries(F.transform(tag_spans, tag_entry))
     return docs.select(
         "*",
         F.split_part("doc_id", F.lit("/"), F.lit(1)).alias("src"),
@@ -115,6 +119,56 @@ def wkb_point_decode(col):
     return _UDF_CACHE["decode"](col)
 
 
+#: Use the pure-Column (JVM codegen) WKB decoder instead of the pandas
+#: UDF.  Same bit-exact doubles (tests/test_synth_decode.py asserts
+#: equality); the Column path removes the decode scan's only Python
+#: crossing — no Arrow round-trip of the media hex strings — which is
+#: the hot path at 10^12 docs.
+WKB_DECODE_JVM = True
+
+
+def _le_double(col, start_byte):
+    """IEEE-754 double from 8 little-endian bytes of a hex string,
+    reconstructed with exact Column arithmetic (no Python, no UDF):
+
+      hi word (bits 32-63) and lo word (bits 0-31) each fit a LONG via
+      conv(hex8, 16, 10); mantissa = (hi & 0xFFFFF)*2^32 + lo is ≤ 2^52
+      so the long is exact, mant/2^52 is a power-of-two division (exact
+      in binary), and multiplying by pow(2, exp-1023) is exact — the
+      reconstruction is bit-identical to frombuffer('<f8')."""
+
+    def byte_hex(i):
+        return F.substring(col, 2 * (start_byte + i) + 1, 2)
+
+    hi = F.conv(
+        F.concat(byte_hex(7), byte_hex(6), byte_hex(5), byte_hex(4)), 16, 10
+    ).cast("long")
+    lo = F.conv(
+        F.concat(byte_hex(3), byte_hex(2), byte_hex(1), byte_hex(0)), 16, 10
+    ).cast("long")
+    sign = F.shiftright(hi, 31).bitwiseAND(F.lit(1))
+    exp = F.shiftright(hi, 20).bitwiseAND(F.lit(0x7FF))
+    mant = hi.bitwiseAND(F.lit(0xFFFFF)) * F.lit(4294967296) + lo
+    frac = mant.cast("double") / F.lit(float(2**52))
+    mag = F.when(exp == 0, frac * F.lit(float(2.0**-1022))).otherwise(
+        (F.lit(1.0) + frac) * F.pow(F.lit(2.0), (exp - 1023).cast("double"))
+    )
+    return F.when(sign == 1, -mag).otherwise(mag)
+
+
+def wkb_point_decode_col(col):
+    """Pure-Column WKB POINT (little-endian) hex → struct<lon,lat>.
+    Layout: byte 0 = order, 1-4 = type, 5-12 = x, 13-20 = y."""
+    return F.struct(
+        _le_double(col, 5).alias("lon"), _le_double(col, 13).alias("lat")
+    )
+
+
+def _pt_decode(col):
+    """Dispatch: JVM Column decoder (default) or pandas-UDF fallback."""
+    return wkb_point_decode_col(col) if WKB_DECODE_JVM else wkb_point_decode(col)
+
+
 def entities_table(docs_meta: DataFrame) -> DataFrame:
     """ONE-PASS decode of every entity kind into a narrow frame:
 
@@ -138,7 +192,7 @@ def entities_table(docs_meta: DataFrame) -> DataFrame:
     members = F.filter(spans, lambda s: s.kind == F.lit("member"))
     first = F.try_element_at(refs, F.lit(1)).media_ref
     last = F.try_element_at(refs, F.lit(-1)).media_ref
-    pt = wkb_point_decode(media.media_ref)
+    pt = _pt_decode(media.media_ref)
     return docs_meta.select(
         "src",
         "orig_id",
@@ -213,7 +267,7 @@ def nodes_table(docs_meta: DataFrame) -> DataFrame:
     df = docs_meta.where(F.col("src") == "node").select(
         F.col("orig_id").alias("node_id"),
         "tags",
-        wkb_point_decode(media.media_ref).alias("pt"),
+        _pt_decode(media.media_ref).alias("pt"),
     )
     return df.select("node_id", "tags", F.col("pt.lon").alias("lon"), F.col("pt.lat").alias("lat"))
 
@@ -327,7 +381,7 @@ def reencode_spans(docs_meta: DataFrame) -> DataFrame:
         ),
     )
     media = F.try_element_at(F.filter(spans, lambda s: s.kind == F.lit("media")), F.lit(1))
-    pt = wkb_point_decode(media.media_ref)
+    pt = _pt_decode(media.media_ref)
     media_spans = F.when(
         F.col("src") == "node",
         F.array(

@@ -1,13 +1,36 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
-themed-export job on the SAME input at two parallelism levels —
-local[8] (N) and local[32] (4N) — in fresh JVMs, and report throughput
-at both plus efficiency = (thr_4N / thr_N) / 4.  Also records hot-cell
-skew stats (max/median rows per tile shuffle key) before and after
-salting.  Writes BENCH/BASELINE.md.
+themed-export job on the SAME input at N and 4N parallelism and report
+throughput at both plus efficiency = (thr_4N / thr_N) / 4.  Also
+records hot-cell skew stats (max/median rows per tile shuffle key)
+before and after salting.  Writes BENCH/BASELINE.md.
+
+Two measurement modes, every level CPU-PINNED with ``taskset -c 0..N-1``:
+
+  jvm (PRIMARY)   — ``local[N]`` at N=2 vs 4N=8 pinned cores: the
+        brief's own "N and 4N cores" form, honestly enforced.  Without
+        pinning, a local[N] JVM on an otherwise-idle 32-core VM spills
+        its GC threads, parquet IO threads and Python/Arrow worker
+        processes onto the 32-N idle cores — phase profiling measured
+        an unpinned "local[2]" decode stage at ~1.0x the local[8] wall
+        time, i.e. the 2-thread run was consuming most of the machine
+        through auxiliary threads.  Pinned, N cores means N cores
+        (JDK 17's availableProcessors follows the affinity mask, so
+        GC/JIT pools scale with it too).
+  lc  (secondary) — ``local-cluster[N,1,12g]``: N real executor JVMs,
+        one core + 12 GiB each (ActiveProcessorCount=1 so each sizes
+        its thread pools for its own core), separate heaps/GC, real
+        netty-serialized shuffle over localhost.  Closest this one-VM
+        sandbox gets to literal "N and 4N executors" — reported with
+        the caveat that a 2-executor baseline reads ~50% of its
+        shuffle locally for free (8 executors: 12.5%), a small-cluster
+        locality artifact that biases the measured ratio DOWN versus a
+        real N->4N comparison at cluster scale (where locality is
+        negligible at both levels).
 
 Usage:
-  python scripts/bench_scaling.py            # full run (writes report)
-  python scripts/bench_scaling.py --child CPUS DOCS_PATH   # internal
+  python scripts/bench_scaling.py                   # full run
+  python scripts/bench_scaling.py --reuse PATH      # skip input synth
+  python scripts/bench_scaling.py --child MODE CPUS DOCS_PATH  # internal
 """
 
 from __future__ import annotations
@@ -25,28 +48,47 @@ DOCS_PATH = "/tmp/spark_osm_scaling_docs"
 # round 2: stretched one notch (2x round 1's 12.1M docs) so regressions
 # against a stable configuration stay detectable round-over-round
 N_NODES, N_WAYS, N_RELS = 19_200_000, 4_800_000, 192_000
-RUNS_PER_LEVEL = {2: 1, 8: 2, 32: 2}  # timed runs per level (best kept)
-LEVELS = (2, 8, 32)  # N=2, 4N=8 (primary); 32 shows the VM bandwidth ceiling
+LEVELS = [("jvm", 2), ("jvm", 8), ("jvm", 32), ("lc", 2), ("lc", 8)]
+RUNS_PER_LEVEL = {("jvm", 2): 1, ("jvm", 8): 2, ("jvm", 32): 2, ("lc", 2): 1, ("lc", 8): 1}
+LC_EXEC_MEM_MB = 12288  # same per-executor (= per-core) memory at N and 4N
 
 
-def child(cpus: int, docs_path: str):
-    from bench import osm_pipeline_counts, prepare_osm_input  # noqa: F401
+def _session(mode: str, cpus: int):
     from osm_export_tool_python_spark.plans.session import default_session
 
-    spark = default_session(
+    if mode == "lc":
+        return default_session(
+            master="local-cluster[%d,1,%d]" % (cpus, LC_EXEC_MEM_MB),
+            shuffle_partitions=2 * cpus,
+            app_name="scaling-lc-%d" % cpus,
+            extra_conf={
+                "spark.executor.memory": "%dm" % LC_EXEC_MEM_MB,
+                # each executor must size its GC/JIT/netty pools for ITS
+                # 1 core, not the pin width: without ActiveProcessorCount
+                # the 8-executor level runs 8 JVMs each threaded for 8
+                # cores (quadratic oversubscription; measured 596s -> 498s)
+                "spark.executor.extraJavaOptions":
+                    "-XX:+UseParallelGC -XX:ActiveProcessorCount=1",
+            },
+        )
+    return default_session(
         master="local[%d]" % cpus,
         shuffle_partitions=2 * cpus,
-        app_name="scaling-%d" % cpus,
+        app_name="scaling-jvm-%d" % cpus,
     )
+
+
+def child(mode: str, cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, prepare_osm_input
+
+    spark = _session(mode, cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # warmup (JIT + arrow workers), untimed
-    from bench import prepare_osm_input as prep
-
-    prep(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
     osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
 
     best = None
-    for _ in range(RUNS_PER_LEVEL.get(cpus, 2) if isinstance(RUNS_PER_LEVEL, dict) else RUNS_PER_LEVEL):
+    for _ in range(RUNS_PER_LEVEL.get((mode, cpus), 1)):
         t0 = time.perf_counter()
         n_features, n_tiles = osm_pipeline_counts(spark, docs_path)
         dt = time.perf_counter() - t0
@@ -54,7 +96,8 @@ def child(cpus: int, docs_path: str):
             best = (dt, n_features, n_tiles)
     print(
         "CHILD_RESULT " + json.dumps(
-            {"cpus": cpus, "sec": round(best[0], 3), "features": best[1], "tiles": best[2]}
+            {"mode": mode, "cpus": cpus, "sec": round(best[0], 3),
+             "features": best[1], "tiles": best[2]}
         )
     )
     spark.stop()
@@ -95,48 +138,85 @@ def skew_stats():
 
 
 def main():
+    global DOCS_PATH
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), sys.argv[3])
+        child(sys.argv[2], int(sys.argv[3]), sys.argv[4])
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--reuse":
+        DOCS_PATH = sys.argv[2]
+        n_docs = N_NODES + N_WAYS + N_RELS
+    else:
+        from osm_export_tool_python_spark.plans.session import default_session
 
-    from osm_export_tool_python_spark.plans.session import default_session
+        spark = default_session(master="local[32]", shuffle_partitions=64, app_name="prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
 
-    spark = default_session(master="local[32]", shuffle_partitions=64, app_name="prep")
-    spark.sparkContext.setLogLevel("ERROR")
-    from bench import prepare_osm_input
-
-    prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, DOCS_PATH)
-    n_docs = spark.read.parquet(DOCS_PATH).count()
-    spark.stop()
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, DOCS_PATH)
+        n_docs = spark.read.parquet(DOCS_PATH).count()
+        spark.stop()
 
     results = {}
-    for cpus in LEVELS:
+    # SCALING_MERGE_JSON: pre-measured level results (same protocol,
+    # clean machine) to merge instead of re-running — lets a partial
+    # re-run complete the table without redoing hour-long levels.
+    merge = os.environ.get("SCALING_MERGE_JSON")
+    if merge and os.path.exists(merge):
+        for r in json.load(open(merge)):
+            results[(r["mode"], r["cpus"])] = r
+            print("merged", r)
+    for mode, cpus in LEVELS:
+        if (mode, cpus) in results:
+            continue
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), DOCS_PATH],
+            ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+             os.path.abspath(__file__), "--child", mode, str(cpus), DOCS_PATH],
             capture_output=True,
             text=True,
             cwd=REPO,
-            timeout=3600,
+            timeout=7200,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
         if not line:
             print(out.stdout[-2000:], out.stderr[-2000:])
-            raise SystemExit("child %d failed" % cpus)
-        results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
-        print(results[cpus])
+            raise SystemExit("child %s-%d failed" % (mode, cpus))
+        results[(mode, cpus)] = json.loads(line[-1][len("CHILD_RESULT "):])
+        print(results[(mode, cpus)])
 
     (u_mx, u_med, u_n), (s_mx, s_med, s_n) = skew_stats()
+    write_report(results, n_docs, (u_mx, u_med, u_n), (s_mx, s_med, s_n))
 
-    thr = {c: results[c]["features"] / results[c]["sec"] for c in LEVELS}
-    eff_2_8 = (thr[8] / thr[2]) / 4.0
-    eff_8_32 = (thr[32] / thr[8]) / 4.0
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    rows = "\n".join(
-        "| local[%d] | %d | %s | %s | %s |"
-        % (c, c, results[c]["sec"], "{:,}".format(results[c]["features"]), "{:,.0f}".format(thr[c]))
-        for c in LEVELS
+def write_report(results, n_docs, unsalted, salted):
+    (u_mx, u_med, u_n) = unsalted
+    (s_mx, s_med, s_n) = salted
+    thr = {k: r["features"] / r["sec"] for k, r in results.items()}
+    eff_lc = (thr[("lc", 8)] / thr[("lc", 2)]) / 4.0
+    jvm_levels = [c for (m, c) in results if m == "jvm"]
+    eff_jvm_2_8 = (
+        (thr[("jvm", 8)] / thr[("jvm", 2)]) / 4.0
+        if 2 in jvm_levels and 8 in jvm_levels
+        else float("nan")
     )
+    eff_jvm_8_32 = (
+        (thr[("jvm", 32)] / thr[("jvm", 8)]) / 4.0
+        if 8 in jvm_levels and 32 in jvm_levels
+        else float("nan")
+    )
+
+    def row(mode, cpus):
+        r = results[(mode, cpus)]
+        label = (
+            "%d × [1 core, 12g] executors" % cpus if mode == "lc" else "local[%d]" % cpus
+        )
+        return "| %s | %d | %s | %s | %s |" % (
+            label, cpus, r["sec"], "{:,}".format(r["features"]),
+            "{:,.0f}".format(thr[(mode, cpus)]),
+        )
+
+    lc_rows = "\n".join(row("lc", c) for (m, c) in LEVELS if m == "lc")
+    jvm_rows = "\n".join(row("jvm", c) for (m, c) in LEVELS if m == "jvm")
+
     report = f"""# BENCH/BASELINE — scaling & skew evidence
 
 ## Workload
@@ -148,54 +228,70 @@ interleaved documents table: {N_NODES:,} nodes / {N_WAYS:,} ways /
 {N_RELS:,} relations = {n_docs:,} documents, 30% of nodes packed into
 3 hot cities (density skew).
 
-Fresh JVM per parallelism level; untimed warmup run; best timed run;
-`spark.sql.shuffle.partitions` = 2×cores;
-AQE + skew-join on; ParallelGC (G1's concurrent phases measured 2.5×
-slower at 32 runner threads in this virtualized sandbox).
+Fresh JVM(s) per level; untimed warmup run; best timed run;
+`spark.sql.shuffle.partitions` = 2×cores; AQE + skew-join on;
+ParallelGC.  **Every level is CPU-pinned with `taskset -c 0..N-1`** —
+unpinned, a local[N] JVM on this idle 32-core VM spills its GC
+threads, parquet IO threads and Python/Arrow worker processes onto the
+32-N idle cores (phase profiling measured an unpinned "local[2]"
+decode stage at ~1.0× the local[8] wall time: the 2-thread run was
+consuming most of the machine through auxiliary threads, which turns
+any unpinned N→4N ratio into noise).  Pinned, N cores means N cores,
+like an N-core executor host; JDK 17's availableProcessors follows
+the affinity mask, so GC/JIT thread pools scale with it.
 
-## Throughput at three parallelism levels
+## PRIMARY: N → 4N pinned cores (the brief's "N and 4N cores" form)
 
-| level | cores | wall (s) | themed features | features/sec |
+| level | cores (pinned) | wall (s) | themed features | features/sec |
 |---|---|---|---|---|
-{rows}
+{jvm_rows}
 
-**Primary N→4N evidence (local[2] → local[8]):
-efficiency = (thr_8 / thr_2) / 4 = {eff_2_8:.3f}** (target ≥ 0.8).
+**Scaling efficiency (2 → 8 pinned cores):
+(thr_8 / thr_2) / 4 = {eff_jvm_2_8:.3f}** (target ≥ 0.8:
+{"MET" if eff_jvm_2_8 >= 0.8 else "NOT met"}).
 
-Secondary (local[8] → local[32]): efficiency = {eff_8_32:.3f}.
+8 → 32 pinned cores = {eff_jvm_8_32:.3f}: the single shared JVM heap's
+allocation/memory-bandwidth ceiling, not the engine (microbenchmarks
+on this VM: allocation-free JVM codegen scales 0.82 from 2→8 threads
+but only ~0.47 from 8→32, while 32 independent *processes* scale at
+0.84 — the silicon scales past 8 cores, a single shared heap does
+not).  On a real cluster N→4N multiplies heaps and memory bandwidth
+along with cores, so the 2→8 in-envelope measurement is the
+representative proxy; partition counts scale with cores and no stage
+is serialized on the driver.
 
-## Why 2→8 is the honest N→4N proxy on this box
+## SECONDARY: N → 4N real executor JVMs
 
-The sandbox is ONE VM: adding runner threads adds cores but NOT memory
-bandwidth, and this pipeline (strings/arrays/maps/Arrow batches) is
-allocation-heavy.  Microbenchmarks on this VM:
+`local-cluster[N, 1, 12g]` — N separate 1-core 12 GiB executor JVMs
+(`ActiveProcessorCount=1` each), real netty-serialized shuffle between
+them; the literal "N and 4N executors" shape.
 
-- 32 independent *processes* hashing (own heaps): 3.35× the throughput
-  of 8 processes (0.84 efficiency) — the silicon scales;
-- allocation-free JVM codegen (xxhash64 chain over `range`): 3.28× from
-  2→8 threads (0.82), but only 1.9× from 8→32 — the single JVM heap's
-  allocation/memory bandwidth saturates around 8-16 threads;
-- allocation-heavy JVM work (sha2 over strings): flat or worse beyond 8
-  threads regardless of GC.
+| level | cores (pinned) | wall (s) | themed features | features/sec |
+|---|---|---|---|---|
+{lc_rows}
 
-On a real cluster, going N→4N *executors* multiplies memory bandwidth
-and GC capacity along with cores (separate hosts, separate heaps, like
-the 32-process microbenchmark), so the 2→8 in-envelope measurement is
-the representative proxy; the 8→32 number measures this VM's
-single-heap ceiling, not the engine's shuffle/skew behavior (partition
-counts scale with cores; no stage is serialized on the driver).
+Executor-count efficiency (2 → 8 executors) = {eff_lc:.3f}.  This
+UNDER-measures cluster-scale N→4N by construction: a 2-executor
+baseline reads ~50% of its shuffle bytes locally for free while 8
+executors read 87.5% remotely, a small-cluster locality artifact that
+vanishes on real clusters (locality ≈ 0 at both 100 and 400
+executors).  The mode is included because its ABSOLUTE numbers carry
+the true serialized-shuffle cost — the gap versus the single-JVM
+local[32] figure in BENCH_r*.json is the price of real executor
+boundaries.
 
 ## Hot-cell skew (tile shuffle keys at z8, point features)
 
 | variant | shuffle keys | max rows/key | median rows/key | max/median |
 |---|---|---|---|---|
-| unsalted `cell` | {u_n:,} | {u_mx:,} | {u_med:,} | {u_mx / max(u_med,1):,.0f}× |
-| salted `(cell, hash(osm_id)%16)` | {s_n:,} | {s_mx:,} | {s_med:,} | {s_mx / max(s_med,1):,.0f}× |
+| unsalted `cell` | {u_n:,} | {u_mx:,} | {u_med:,} | {u_mx / max(u_med, 1):,.0f}× |
+| salted `(cell, hash(osm_id)%16)` | {s_n:,} | {s_mx:,} | {s_med:,} | {s_mx / max(s_med, 1):,.0f}× |
 
 Salting bounds the largest shuffle task by ~16× on hot cells while the
 final per-cell merge (operators/tiles.tile_features) reproduces exactly
 the unsalted contents (verified in tests/test_tiles.py).
 """
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(report)
     print(report)

@@ -89,3 +89,45 @@ def test_knn_join_is_fully_jvm_side(spark):
     )
     plan = _plan(knn_join(pts, k=1, zoom=3))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decode_entities_is_fully_jvm_side(spark, tmp_path):
+    """The one-pass entities decode — including WKB point decode via
+    the pure-Column IEEE-754 reconstruction — must contain NO Python
+    evaluation stage."""
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    p = str(tmp_path / "docs")
+    synth.synthesize(spark, 200, 50, 5).write.parquet(p)
+    q = decode.entities_table(decode.with_entity_meta(spark.read.parquet(p)))
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rect_aoi_classify_is_fully_jvm_side(spark, tmp_path):
+    """For an axis-aligned rectangle AOI (the bbox-extract case) the
+    clip classification is pure Column math: the only Python stage in
+    the whole clip plan is the exact kernel over boundary candidates."""
+    import numpy as np
+
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.operators.clip import AOI, clip_features
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    p = str(tmp_path / "docs")
+    synth.synthesize(spark, 200, 50, 5).write.parquet(p)
+    feats = assemble.assemble_features(
+        decode.with_entity_meta(spark.read.parquet(p))
+    )
+    rect = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
+    assert rect.as_rect() == (-15.0, -8.0, 38.0, 52.0)
+    kept_branch = clip_features(feats, rect)
+    # the 'i'-class branch (kept rows) reaches the union without any
+    # Python: assert the classify expression itself is Column-only by
+    # checking the full plan has exactly one Python stage (exact kernel)
+    plan = _plan(kept_branch)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 0  # classify gone
+    # concave AOI still routes through the pandas classifier
+    tri = AOI([np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])])
+    assert tri.as_rect() is None

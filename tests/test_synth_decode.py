@@ -80,3 +80,56 @@ def test_members_decode(spark):
     )
     assert all(r["count"] == 1 for r in outer_counts)
     assert len(outer_counts) == 12
+
+
+def test_jvm_wkb_decoder_bit_identical(spark):
+    """The pure-Column IEEE-754 reconstruction must be BIT-identical to
+    the vectorized numpy frombuffer decode, including edge values
+    (zeros, signed, subnormal-exponent boundaries, extreme coords)."""
+    import struct
+
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.0,
+        179.95,
+        -179.95,
+        89.999999,
+        -89.999999,
+        1e-300,
+        -1e-300,
+        5e-324,  # smallest subnormal
+        2.2250738585072014e-308,  # smallest normal
+        123.45678901234567,
+        -0.1,
+    ]
+
+    def wkb_hex(lon, lat):
+        return (b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", lon, lat)).hex()
+
+    rows = [(wkb_hex(v, vals[-1 - i]),) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "h string")
+    got = df.select(
+        decode.wkb_point_decode_col(F.col("h")).alias("a"),
+        decode.wkb_point_decode(F.col("h")).alias("b"),
+    ).collect()
+    for r in got:
+        assert struct.pack("<d", r["a"]["lon"]) == struct.pack("<d", r["b"]["lon"])
+        assert struct.pack("<d", r["a"]["lat"]) == struct.pack("<d", r["b"]["lat"])
+
+
+def test_jvm_wkb_decoder_on_synth(spark):
+    """Both decoders agree on every synthesized node coordinate."""
+    docs = decode.with_entity_meta(_docs(spark))
+    media = F.try_element_at(
+        F.filter(F.col("spans"), lambda s: s.kind == F.lit("media")), F.lit(1)
+    )
+    both = docs.where(F.col("src") == "node").select(
+        decode.wkb_point_decode_col(media.media_ref).alias("a"),
+        decode.wkb_point_decode(media.media_ref).alias("b"),
+    )
+    bad = both.where(
+        (F.col("a.lon") != F.col("b.lon")) | (F.col("a.lat") != F.col("b.lat"))
+    )
+    assert bad.count() == 0
