@@ -308,3 +308,84 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(id, component) for every vertex of the near-dup pair graph;
+    `component` = the minimum id reachable from the vertex, so each
+    duplicate CLUSTER gets one canonical representative (keep the row
+    with id == component, drop the rest — the cluster-level form of
+    minhash_dedup's pairwise survivor pick).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes.  Near-dup clusters have tiny diameter (chains of
+    near-identical docs), so 2-4 rounds typically suffice; `max_iter`
+    bounds pathological chains.
+
+    Scale shape: each round is one equi-join on vertex id + one
+    map-side-combining min-agg — all shuffles on the SAME key, so at
+    cluster scale the vertex frame can be pre-partitioned once and
+    every round reuses the partitioning.  Labels are persisted per
+    round (the convergence count materializes them) and lineage is
+    truncated with localCheckpoint every `checkpoint_every` rounds so
+    the plan doesn't grow unboundedly.  For graphs with super-node
+    components (billions of edges in one cluster) the documented
+    upgrade is the large-star/small-star algorithm (same primitive
+    ops); near-dup graphs thresholded at >=0.5 Jaccard don't exhibit
+    that in practice.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+
+    try:
+        for it in range(max_iter):
+            msgs = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "component")
+            mins = msgs.groupBy("id").agg(F.min("component").alias("nbr_min"))
+            new_labels = (
+                labels.join(mins, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")),
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()

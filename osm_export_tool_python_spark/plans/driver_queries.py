@@ -286,8 +286,7 @@ def q_lsh_near_dup(spark, sf_dir):
     )
 
 
-SQL_LSH_NEAR_DUP = """
-WITH toks AS (
+_LSH_CTE_BODY = """toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
 ), sh AS (
@@ -318,16 +317,51 @@ WITH toks AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b USING (bucket)
   WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) AS jaccard
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) >= 0.5
+)"""
+
+SQL_LSH_NEAR_DUP = (
+    "WITH " + _LSH_CTE_BODY + "\nSELECT id_a, id_b, jaccard FROM verified"
 )
-SELECT id_a, id_b,
-  round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) AS jaccard
-FROM pairs
-JOIN sig sa ON sa.doc_id = id_a
-JOIN sig sb ON sb.doc_id = id_b
-WHERE round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.shd, sb.shd))), 6) >= 0.5
-"""
+
+
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate CLUSTERING: connected components over the verified
+    near-dup pair graph (operators/dedup.py:connected_components,
+    iterative min-label propagation — a genuinely iterative DataFrame
+    algorithm, oracled here via DuckDB's WITH RECURSIVE transitive
+    closure).  component = min doc_id reachable, i.e. the canonical
+    survivor of each duplicate cluster."""
+    pairs = q_lsh_near_dup(spark, sf_dir)
+    comp = D.connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+SQL_NEAR_DUP_COMPONENTS = (
+    "WITH RECURSIVE " + _LSH_CTE_BODY + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+), reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src"""
+)
 
 
 _SIMHASH_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -1201,6 +1235,7 @@ QUERIES = {
     "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "doc_simhash16": (q_doc_simhash16, SQL_DOC_SIMHASH16),
     # embeddings
     "embed_norms": (q_embed_norms, SQL_EMBED_NORMS),

@@ -142,3 +142,20 @@ def test_embedding_near_dup(spark):
     pairs = D.embedding_near_dup_pairs(df, threshold=0.98, n_planes=8).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(1, 2)}
+
+
+def test_connected_components_clusters(spark):
+    """Chain, triangle, isolated pair: every vertex gets the min id of
+    its component, converging over multiple propagation rounds (the
+    chain 10-11-12-13-14 needs >1)."""
+    from osm_export_tool_python_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(11, 10), (11, 12), (12, 13), (13, 14),  # chain -> 10
+         (20, 21), (21, 22), (20, 22),            # triangle -> 20
+         (31, 30)],                               # pair -> 30
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
