@@ -151,3 +151,169 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
                 yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL format codecs — BMP and WAV are fully specified byte layouts,
+# decodable with pure numpy (no PIL/ffmpeg needed).  These upgrade the
+# corresponding decode paths from stubs to genuine file-format parsing;
+# compressed formats (JPEG/MP3/H.264) remain library-bound stubs.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 (RGB) → BMP (BITMAPINFOHEADER, 24bpp, bottom-up,
+    BGR, rows padded to 4 bytes)."""
+    h, w, c = img.shape
+    assert c == 3, "24bpp BMP is 3-channel"
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    off = 14 + 40
+    header = np.zeros(off, dtype=np.uint8)
+    header[0:2] = [0x42, 0x4D]  # 'BM'
+    header[2:6] = np.frombuffer(np.uint32(off + data_size).tobytes(), np.uint8)
+    header[10:14] = np.frombuffer(np.uint32(off).tobytes(), np.uint8)
+    header[14:18] = np.frombuffer(np.uint32(40).tobytes(), np.uint8)
+    header[18:22] = np.frombuffer(np.int32(w).tobytes(), np.uint8)
+    header[22:26] = np.frombuffer(np.int32(h).tobytes(), np.uint8)
+    header[26:28] = np.frombuffer(np.uint16(1).tobytes(), np.uint8)   # planes
+    header[28:30] = np.frombuffer(np.uint16(24).tobytes(), np.uint8)  # bpp
+    header[34:38] = np.frombuffer(np.uint32(data_size).tobytes(), np.uint8)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header.tobytes() + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (24bpp uncompressed) → uint8 HxWx3 RGB.  Pure numpy."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+        raise ValueError("not a BMP payload")
+    off = int(b[10:14].view(np.uint32)[0])
+    w = int(b[18:22].view(np.int32)[0])
+    h = int(b[22:26].view(np.int32)[0])
+    bpp = int(b[28:30].view(np.uint16)[0])
+    if bpp != 24:
+        raise ValueError("only 24bpp BMP supported, got %d" % bpp)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = b[off : off + row_bytes * abs(h)].reshape(abs(h), row_bytes)
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR→RGB
+    if h > 0:
+        img = img[::-1]  # bottom-up
+    return np.ascontiguousarray(img)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes."""
+    pcm = samples.astype("<i2").tobytes()
+
+    def u32(x):
+        return np.frombuffer(np.uint32(x).tobytes(), np.uint8)
+
+    def u16(x):
+        return np.frombuffer(np.uint16(x).tobytes(), np.uint8)
+
+    hdr = np.concatenate(
+        [
+            np.frombuffer(b"RIFF", np.uint8), u32(36 + len(pcm)),
+            np.frombuffer(b"WAVEfmt ", np.uint8), u32(16),
+            u16(1), u16(1),                      # PCM, mono
+            u32(sample_rate), u32(sample_rate * 2),
+            u16(2), u16(16),                     # block align, bits
+            np.frombuffer(b"data", np.uint8), u32(len(pcm)),
+        ]
+    )
+    return hdr.tobytes() + pcm
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 mono → (int16 samples ndarray, sample_rate)."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) < 44 or b[:4].tobytes() != b"RIFF" or b[8:12].tobytes() != b"WAVE":
+        raise ValueError("not a WAV payload")
+    sample_rate = int(b[24:28].view(np.uint32)[0])
+    bits = int(b[34:36].view(np.uint16)[0])
+    if bits != 16:
+        raise ValueError("only PCM16 supported, got %d bits" % bits)
+    # scan chunks from offset 12 for 'data'
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4].tobytes()
+        sz = int(b[pos + 4 : pos + 8].view(np.uint32)[0])
+        if cid == b"data":
+            raw = b[pos + 8 : pos + 8 + sz]
+            return raw.view("<i2").copy(), sample_rate
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("WAV data chunk not found")
+
+
+def synth_real_media(spark, n: int = 100, partitions: int = None) -> DataFrame:
+    """Media table whose image/audio payloads are REAL file bytes
+    (BMP / WAV), exercising the genuine decoders end-to-end; video
+    stays a stub payload (codecs are library-bound)."""
+    from ..sources.synth import _splitmix64
+
+    rng_df = spark.range(0, n, 1, partitions or 4)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(np.uint64):
+                kind = ["image", "audio"][int(i) % 2]
+                seed = _splitmix64(np.array([i], dtype=np.uint64))[0]
+                if kind == "image":
+                    w, h = 8 + int(i) % 8, 8 + int(i) % 4
+                    px = (
+                        _splitmix64(np.uint64(seed) + np.arange(w * h * 3, dtype=np.uint64))
+                        & np.uint64(0xFF)
+                    ).astype(np.uint8).reshape(h, w, 3)
+                    payload, meta = encode_bmp(px), {
+                        "width": w, "height": h, "channels": 3,
+                        "sample_rate": 0, "n_frames": 1,
+                    }
+                else:
+                    ns = 64 + int(i) % 64
+                    samples = (
+                        (_splitmix64(np.uint64(seed) + np.arange(ns, dtype=np.uint64))
+                         & np.uint64(0xFFFF)).astype(np.int64) - 32768
+                    ).astype(np.int16)
+                    payload, meta = encode_wav(samples, 16000), {
+                        "width": 0, "height": 0, "channels": 1,
+                        "sample_rate": 16000, "n_frames": ns,
+                    }
+                rows.append(
+                    {"media_id": int(i), "kind": kind, "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return rng_df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features_real(media: DataFrame) -> DataFrame:
+    """Feature extraction over REAL file bytes: BMP → per-channel
+    means + dims (via decode_bmp), WAV → RMS + zero-crossing rate (via
+    decode_wav).  Same mapInPandas batch shape as extract_features."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                if t.kind == "image":
+                    img = decode_bmp(t.payload)
+                    feat = [float(img[:, :, ch].mean()) / 255.0 for ch in range(3)]
+                    feat += [img.shape[1] / 64.0, img.shape[0] / 64.0]
+                else:
+                    samples, rate = decode_wav(t.payload)
+                    x = samples.astype(np.float64) / 32768.0
+                    zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+                    feat = [float(np.sqrt(np.mean(x * x))), zcr, rate / 48000.0]
+                out.append(
+                    {
+                        "media_id": t.media_id,
+                        "kind": t.kind,
+                        "feat": [np.float32(v) for v in feat],
+                        "feat_dim": len(feat),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

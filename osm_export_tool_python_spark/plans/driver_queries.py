@@ -367,13 +367,13 @@ FROM reach GROUP BY src"""
 _SIMHASH_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def q_doc_simhash16(spark, sf_dir):
-    """16-bit SimHash with md5-derived bits (oracle-parity variant of
-    operators/dedup.py:simhash_col, which uses xxhash64 at scale): bit
-    j of doc = majority vote over tokens of bit 4j+3 of md5(token)
-    (i.e. hex digit j ≥ '8'), weighted by token frequency.  Strictly-
-    greater majority → deterministic tie → 0."""
-    docs = _t(spark, sf_dir, "documents")
+def _simhash_expr(n_bits=16):
+    """n_bits-wide SimHash Column with md5-derived bits (oracle-parity
+    variant of operators/dedup.py:simhash_col, which uses xxhash64 at
+    scale): bit j of doc = majority vote over tokens of the top bit of
+    md5(token)'s j-th hex digit (digit ≥ '8'), weighted by token
+    frequency.  Strictly-greater majority → deterministic tie → 0.
+    n_bits ≤ 32 (md5 has 32 hex digits)."""
     toks = T.tokens("text")
     n = F.size(toks)
 
@@ -383,23 +383,84 @@ def q_doc_simhash16(spark, sf_dir):
         return lambda t: F.substring(F.md5(t), j + 1, 1).isin(*_SIMHASH_HEX_HI)
 
     sim = F.lit(0)
-    for j in range(16):
+    for j in range(n_bits):
         hit = F.size(F.filter(toks, bit_pred(j)))
         sim = sim + F.when(hit * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
-    return docs.select("doc_id", sim.cast("bigint").alias("simhash16"))
+    return sim.cast("bigint")
+
+
+def q_doc_simhash16(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", _simhash_expr(16).alias("simhash16")
+    )
+
+
+def _sql_simhash_cte(n_bits=16, alias="simhash16"):
+    return (
+        "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
+        " '\\s+') AS t FROM documents),\n"
+        "sh AS (SELECT doc_id, CAST(("
+        + " + ".join(
+            "CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), %d, 1) IN "
+            "('8','9','a','b','c','d','e','f'))) > len(t) THEN %d ELSE 0 END"
+            % (j + 1, 1 << j)
+            for j in range(n_bits)
+        )
+        + ") AS BIGINT) AS %s FROM toks)" % alias
+    )
 
 
 SQL_DOC_SIMHASH16 = (
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
-    " '\\s+') AS t FROM documents)\n"
-    "SELECT doc_id, CAST(("
-    + " + ".join(
-        "CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), %d, 1) IN "
-        "('8','9','a','b','c','d','e','f'))) > len(t) THEN %d ELSE 0 END"
-        % (j + 1, 1 << j)
-        for j in range(16)
+    "WITH " + _sql_simhash_cte(16) + "\nSELECT doc_id, simhash16 FROM sh"
+)
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup candidates via the PIGEONHOLE block join, with
+    a brute-force O(n²) oracle proving the join is EXACT: any pair
+    within hamming distance 3 of a 32-bit simhash must agree on at
+    least one of 4 disjoint 8-bit blocks, so block-bucket candidates +
+    a hamming filter return exactly the brute-force result — the scale
+    shape (operators/dedup.py:simhash_near_dup_pairs) with zero recall
+    loss."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _simhash_expr(32).alias("sh")
     )
-    + ") AS BIGINT) AS simhash16 FROM toks"
+    blocks = docs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("blk", "val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+SQL_SIMHASH_DUP_PAIRS = (
+    "WITH " + _sql_simhash_cte(32, "sh32") + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh32, b.sh32)) AS INT) AS hamming
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.sh32, b.sh32)) <= 3"""
 )
 
 
@@ -1221,6 +1282,82 @@ FROM seeds s JOIN sums su USING (i)
 )
 
 
+def q_media_real_roundtrip(spark, sf_dir):
+    """Real-codec integrity, oracled: synth_real_media packs SplitMix64
+    pixels/samples into REAL BMP / WAV file bytes
+    (operators/multimodal.py:encode_bmp/encode_wav); Spark decodes them
+    back through the genuine parsers and sums the content.  DuckDB
+    recomputes the same sum directly from the SplitMix64 stream — an
+    integer equality that only holds if the encoders AND decoders
+    round-trip every pixel/sample exactly (header layout, bottom-up
+    BGR rows, row padding, chunk scan)."""
+    import numpy as np
+    import pandas as pd
+
+    globals()["pd"] = pd  # resolve string annotations (future-annotations module)
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import decode_bmp, decode_wav, synth_real_media
+
+    media = synth_real_media(spark, n=120)
+
+    @pandas_udf("long")
+    def dsum(payload: pd.Series, kind: pd.Series) -> pd.Series:
+        out = []
+        for p, k in zip(payload, kind):
+            if k == "image":
+                out.append(int(decode_bmp(bytes(p)).astype(np.int64).sum()))
+            else:
+                s, _rate = decode_wav(bytes(p))
+                out.append(int(s.astype(np.int64).sum()))
+        return pd.Series(out)
+
+    return media.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "kind",
+        dsum("payload", "kind").alias("content_sum"),
+    )
+
+
+SQL_MEDIA_REAL_ROUNDTRIP = (
+    """
+WITH m AS (
+  SELECT i,
+         CAST(i AS HUGEINT) AS ih,
+         ['image','audio'][CAST(i % 2 AS INT) + 1] AS kind,
+         CAST(8 + i % 8 AS INT) AS w,
+         CAST(8 + i % 4 AS INT) AS h,
+         CAST(64 + i % 64 AS INT) AS ns
+  FROM generate_series(0, 119) t(i)
+), m2 AS (
+  SELECT *, CASE WHEN kind = 'image' THEN w * h * 3 ELSE ns END AS nvals FROM m
+), seeds AS (
+  SELECT i, kind, nvals,
+         """
+    + _sm64_cols("ih", "s")
+    + """
+  FROM m2
+), expanded AS (
+  SELECT i, kind, sout, CAST(j AS HUGEINT) AS j
+  FROM seeds, UNNEST(generate_series(0, nvals - 1)) u(j)
+), vals AS (
+  SELECT i, kind,
+         """
+    + _sm64_cols("(sout + j) % 18446744073709551616", "b")
+    + """,
+         CASE WHEN kind = 'image' THEN bout % 256
+              ELSE (bout % 65536) - 32768 END AS v
+  FROM expanded
+)
+SELECT CAST(i AS BIGINT) AS media_id, kind,
+       CAST(SUM(v) AS BIGINT) AS content_sum
+FROM vals GROUP BY i, kind
+"""
+)
+
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1237,6 +1374,7 @@ QUERIES = {
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "doc_simhash16": (q_doc_simhash16, SQL_DOC_SIMHASH16),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
     # embeddings
     "embed_norms": (q_embed_norms, SQL_EMBED_NORMS),
     "embed_knn_top1": (q_embed_knn_top1, SQL_EMBED_KNN_TOP1),
@@ -1263,4 +1401,5 @@ QUERIES = {
     "osm_flagship_export": (q_osm_flagship_export, SQL_OSM_FLAGSHIP_EXPORT),
     "osm_tile_table": (q_osm_tile_table, SQL_OSM_TILE_TABLE),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }

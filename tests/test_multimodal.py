@@ -58,3 +58,62 @@ def test_resize(spark, media):
     assert rows and all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4 for r in rows)
     for r in rows:
         assert len(bytes(r["payload"])) == 4 * 4 * r["meta"]["channels"]
+
+
+class TestRealCodecs:
+    """BMP and WAV are fully specified layouts — the decoders are REAL
+    (pure numpy), not stubs: round-trips are exact and the features
+    derive from genuinely parsed file bytes."""
+
+    def test_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        from osm_export_tool_python_spark.operators.multimodal import (
+            decode_bmp, encode_bmp)
+
+        rng = np.random.default_rng(7)
+        for w, h in [(5, 3), (8, 8), (1, 1), (6, 2)]:  # incl. padded rows
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_bmp_rejects_garbage(self):
+        import numpy as np
+        import pytest
+
+        from osm_export_tool_python_spark.operators.multimodal import decode_bmp
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"\x00" * 100)
+
+    def test_wav_roundtrip_exact(self):
+        import numpy as np
+
+        from osm_export_tool_python_spark.operators.multimodal import (
+            decode_wav, encode_wav)
+
+        rng = np.random.default_rng(11)
+        s = rng.integers(-32768, 32767, size=333, dtype=np.int16)
+        got, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and np.array_equal(got, s)
+
+    def test_real_media_pipeline(self, spark):
+        import numpy as np
+
+        from osm_export_tool_python_spark.operators.multimodal import (
+            decode_bmp, decode_wav, extract_features_real, synth_real_media)
+
+        media = synth_real_media(spark, 40)
+        feats = extract_features_real(media).collect()
+        assert len(feats) == 40
+        by_id = {r["media_id"]: r for r in feats}
+        # independently recompute one image + one audio feature
+        rows = {r["media_id"]: r for r in media.collect()}
+        img_id = next(i for i in rows if rows[i]["kind"] == "image")
+        img = decode_bmp(bytes(rows[img_id]["payload"]))
+        assert abs(by_id[img_id]["feat"][0] - img[:, :, 0].mean() / 255.0) < 1e-6
+        assert by_id[img_id]["feat_dim"] == 5
+        wav_id = next(i for i in rows if rows[i]["kind"] == "audio")
+        samples, rate = decode_wav(bytes(rows[wav_id]["payload"]))
+        x = samples.astype(np.float64) / 32768.0
+        assert abs(by_id[wav_id]["feat"][0] - float(np.sqrt(np.mean(x * x)))) < 1e-6
+        assert rate == 16000
