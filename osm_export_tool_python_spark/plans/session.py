@@ -45,6 +45,14 @@ def default_session(master=None, app_name="spark-osm-export", shuffle_partitions
       - shuffle partitions default 2× cores (bounded small-file churn
         locally; production would use 100-200% of total cores),
       - Arrow enabled for every pandas UDF crossing.
+
+    Cached-frame compression stays at Spark's default (ON): measured
+    ~15-20% faster UNcompressed on the 24M-doc export at 32 cores
+    (`spark.sql.inMemoryColumnarStorage.compressed=false` via
+    extra_conf) because the caches fit in memory easily here — but at
+    cluster scale executor storage memory is the scarce resource and
+    compressed caches keep the working set resident, so the default is
+    the scale-correct choice.
     """
     from pyspark.sql import SparkSession
 

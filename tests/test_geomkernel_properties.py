@@ -1,0 +1,147 @@
+"""Property-based exactness tests for the numpy geometry kernels
+(hypothesis): clip outputs must satisfy the geometric invariants that
+hold for ANY input, complementing the fixed-case oracles in
+tests/test_geomkernel.py."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_export_tool_python_spark.functions import geomkernel as gk
+
+EPS = 1e-9
+
+
+def convex_polys():
+    """Random convex polygons: convex hull of ≥3 random points."""
+
+    @st.composite
+    def _poly(draw):
+        n = draw(st.integers(min_value=3, max_value=10))
+        pts = np.array(
+            [
+                [draw(st.floats(-50, 50, allow_nan=False)),
+                 draw(st.floats(-50, 50, allow_nan=False))]
+                for _ in range(n + 4)
+            ]
+        )
+        hull = _convex_hull(pts)
+        if len(hull) < 3 or abs(gk.signed_area(hull)) < 1e-6:
+            # degenerate draw — fall back to a fixed triangle
+            hull = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        return hull
+
+    return _poly()
+
+
+def _convex_hull(pts):
+    """Andrew's monotone chain (numpy, no scipy)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _inside_or_on(pts, poly, eps=1e-7):
+    """Every point within eps of the convex polygon (half-plane test)."""
+    poly = gk._ensure_ccw(np.asarray(poly, dtype=np.float64))
+    ok = np.ones(len(pts), dtype=bool)
+    for i in range(len(poly)):
+        a, b = poly[i], poly[(i + 1) % len(poly)]
+        d = np.hypot(*(b - a))
+        if d < 1e-12:
+            continue
+        cross = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+        ok &= cross >= -eps * d * 100
+    return ok
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polys(), st.data())
+def test_clipped_polyline_stays_inside(poly, data):
+    n = data.draw(st.integers(min_value=2, max_value=12))
+    line = np.array(
+        [
+            [data.draw(st.floats(-80, 80, allow_nan=False)),
+             data.draw(st.floats(-80, 80, allow_nan=False))]
+            for _ in range(n)
+        ]
+    )
+    pieces = gk.clip_polyline_convex(line, poly)
+    for p in pieces:
+        assert len(p) >= 2
+        assert _inside_or_on(p, poly).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polys(), convex_polys())
+def test_clipped_ring_invariants(ring, poly):
+    """clip_ring_convex(ring, poly): output inside poly, area never
+    exceeds either input, and a ring fully inside passes through."""
+    out = gk.clip_ring_convex(ring, poly)
+    if len(out) >= 3:
+        assert _inside_or_on(out, poly).all()
+        a_out = abs(gk.signed_area(out))
+        assert a_out <= abs(gk.signed_area(ring)) + 1e-6
+        assert a_out <= abs(gk.signed_area(poly)) + 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polys())
+def test_ring_clipped_by_itself_keeps_area(poly):
+    out = gk.clip_ring_convex(poly, poly)
+    assert abs(abs(gk.signed_area(out)) - abs(gk.signed_area(poly))) < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_triangulation_partitions_area(data):
+    """Ear-clip triangulation of a (possibly concave) simple polygon:
+    triangle areas sum to the ring area."""
+    # build a star-shaped (simple, possibly concave) polygon around origin
+    n = data.draw(st.integers(min_value=4, max_value=12))
+    angles = np.sort(
+        np.array([data.draw(st.floats(0, 2 * np.pi - 1e-3)) for _ in range(n)])
+    )
+    if len(np.unique(np.round(angles, 6))) < n:
+        angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    radii = np.array([data.draw(st.floats(1.0, 20.0)) for _ in range(n)])
+    ring = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
+    tris = gk.triangulate_ring(ring)
+    assert tris, "star polygon must triangulate"
+    tri_area = sum(abs(gk.signed_area(t)) for t in tris)
+    assert abs(tri_area - abs(gk.signed_area(ring))) < 1e-6 * max(1.0, tri_area)
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polys(), st.data())
+def test_points_in_rings_matches_halfplane_for_convex(poly, data):
+    """For CONVEX rings the even-odd ray cast must agree with the
+    half-plane test away from the boundary."""
+    pts = np.array(
+        [
+            [data.draw(st.floats(-80, 80, allow_nan=False)),
+             data.draw(st.floats(-80, 80, allow_nan=False))]
+            for _ in range(30)
+        ]
+    )
+    got = gk.points_in_rings(pts, [poly])
+    strict_in = _inside_or_on(pts, poly, eps=-1e-7)   # strictly inside
+    loose_in = _inside_or_on(pts, poly, eps=1e-7)     # inside or on
+    # points clearly inside must be in; points clearly outside must be out
+    assert got[strict_in & loose_in].all() or not (strict_in & loose_in).any()
+    assert (~got[~loose_in]).all() or (~loose_in).sum() == 0
