@@ -101,14 +101,10 @@ def main(argv=None):
             create_package(dest, manifest["entries"], boundary_rings=aoi_rings)
             print("package\t%s" % dest)
         if parsed.posm_bundle:
-            import numpy as np
+            from .operators.clip import AOI
 
             if aoi_rings is not None:
-                ring = np.vstack(aoi_rings)
-                bbox = (
-                    float(ring[:, 0].min()), float(ring[:, 1].min()),
-                    float(ring[:, 0].max()), float(ring[:, 1].max()),
-                )
+                bbox = AOI(aoi_rings).bbox
             else:
                 bbox = (-180.0, -90.0, 180.0, 90.0)
             dest = os.path.join(parsed.output_name, "bundle.tar.gz")

@@ -232,6 +232,10 @@ class Galaxy:
         or_filter, and_filter = {}, {}
         geometry_type = []
         point_filter, line_filter, poly_filter = {}, {}, {}
+        # plain assignment per geometry kind: a later theme of the same
+        # kind REPLACES the column list (not merged) — faithful to the
+        # reference's loop (reference sources.py:430,435,440), where
+        # *_columns carry the LAST matching theme's attribute_filter
         point_columns, line_columns, poly_columns = [], [], []
         for t in mapping.themes:
             or_filter, and_filter = cls._split_filters(t, or_filter, and_filter)

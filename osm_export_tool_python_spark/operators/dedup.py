@@ -358,24 +358,25 @@ def connected_components(
     labels.count()
 
     try:
+        changed = None
         for it in range(max_iter):
             msgs = edges.join(
                 labels.withColumnRenamed("id", "src"), "src"
             ).select(F.col("dst").alias("id"), "component")
             mins = msgs.groupBy("id").agg(F.min("component").alias("nbr_min"))
-            new_labels = (
-                labels.join(mins, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_min", F.col("component")),
-                    ).alias("component"),
-                )
-                .persist()
+            new_labels = labels.join(mins, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
             )
             if (it + 1) % checkpoint_every == 0:
+                # truncate lineage BEFORE persisting so exactly one
+                # handle exists per round (persist-then-checkpoint
+                # leaked the pre-checkpoint cache)
                 new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -386,6 +387,13 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed:
+            raise RuntimeError(
+                "connected_components did not converge in %d rounds "
+                "(%d labels still changing) — the pair graph has a "
+                "component with diameter > max_iter; raise max_iter"
+                % (max_iter, changed)
+            )
         return labels
     finally:
         edges.unpersist()

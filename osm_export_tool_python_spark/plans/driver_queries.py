@@ -241,11 +241,9 @@ def q_lsh_near_dup(spark, sf_dir):
     sig = docs.select(
         F.col("doc_id").alias("id"),
         D.minhash_signature_md5("text", n_hashes=8, shingle_n=3).alias("g"),
-        F.array_distinct(T.shingles("text", 3)).alias("sh"),
     )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -260,20 +258,27 @@ def q_lsh_near_dup(spark, sf_dir):
             )
         ).alias("bucket"),
     )
+    # ids ONLY through the band self-join (the widest shuffle carries
+    # one short row per (doc, band)); shingle arrays join back onto the
+    # deduped candidate pairs afterwards — the operators/dedup.py
+    # jaccard_verify shape
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(T.shingles("text", 3)).alias("sh"),
     )
     return (
-        pairs.withColumn(
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
             "jaccard",
             F.round(
                 F.size(F.array_intersect("sh_a", "sh_b"))

@@ -35,15 +35,34 @@ def partition_lineage(spark, path: str) -> dict:
 
     Reads ONLY parquet footers (a few KB per file), never the data
     pages — the previous implementation re-scanned every written
-    dataset (a second full pass of the write path's I/O at scale)."""
-    import pyarrow.parquet as pq
+    dataset (a second full pass of the write path's I/O at scale).
 
-    out = {}
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        out[name] = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return out
+    Local paths read footers with pyarrow on the driver.  URI paths
+    (s3a://, hdfs://, …) go through Spark so any configured Hadoop
+    filesystem works: a zero-data-column scan grouped by
+    `input_file_name` — row counts come from row-group metadata and no
+    value pages are decoded, so it stays metadata-priced (not the full
+    second data pass the original implementation did)."""
+    if "://" not in path:
+        import pyarrow.parquet as pq
+
+        out = {}
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            out[name] = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        return out
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    return {os.path.basename(r["f"]): r["count"] for r in rows}
 
 
 def export(

@@ -84,6 +84,10 @@ def create_posm_bundle(destination, entries, title, name, description, bbox):
             for part in _dataset_parts(e["path"]):
                 if fmt == "tiles":
                     target = "tiles/%s/%s" % (arc_dir, basename(part))
+                    # lowercase "type" for MBTiles while every other
+                    # format uses "Type" — faithful to the reference,
+                    # which has exactly this casing split
+                    # (reference package.py:27-49)
                     contents[target] = {
                         "type": "MBTiles",
                         "minzoom": e.get("zooms", [None, None])[0],

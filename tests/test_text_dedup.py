@@ -159,3 +159,20 @@ def test_connected_components_clusters(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must FAIL LOUDLY, never
+    return partially-propagated labels as if converged."""
+    import pytest
+
+    from osm_export_tool_python_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain converges to min id 0
+    got = {r["id"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
