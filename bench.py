@@ -139,10 +139,10 @@ def main():
     timings = {}
     total = 0.0
     for name, fn in bench_queries(spark, sf_dir, scale).items():
-        # best-of-2: this VM's run-to-run noise is large (measured up to
+        # best-of-3: this VM's run-to-run noise is large (measured up to
         # 2-3x); the min is the stable, comparable-across-rounds figure
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
