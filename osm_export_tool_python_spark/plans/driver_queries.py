@@ -613,6 +613,39 @@ SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM 
 # TPC-H-ish relational coverage (scan/filter/join/agg/window)
 # ---------------------------------------------------------------------------
 
+def q_events_asof_view(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event gets the most
+    recent view event at-or-before it for the same user — one key
+    shuffle + window, no range-join explosion.  Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(clicks, views, on="user_id", right_cols=["event_id", "value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("view_event_id"),
+        F.round("value_r", 6).alias("view_value"),
+    )
+
+
+SQL_EVENTS_ASOF_VIEW = """
+SELECT c.event_id, c.user_id,
+       v.event_id AS view_event_id,
+       round(v.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1389,6 +1422,7 @@ QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_user_top3": (q_events_user_top3, SQL_EVENTS_USER_TOP3),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     # relational
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
