@@ -14,12 +14,15 @@ Clip semantics contract (reference tabular.py):
     (tabular.py:294-300),
   - polygons: same rule (tabular.py:321-327).
 
-v1 exactness policy (documented deviation, see SURVEY.md §7 hard parts):
-point-in-polygon is exact for arbitrary polygons-with-holes; line and
-polygon *cutting* is exact against convex AOIs (Cyrus–Beck /
-Sutherland–Hodgman); for concave AOIs the engine still drops
-non-intersecting features exactly but keeps boundary-crossing
-geometries uncut.
+Exactness policy: point-in-polygon is exact for arbitrary
+polygons-with-holes (even-odd); line and polygon *cutting* is exact
+against any VALID AOI via decomposition into convex pieces —
+triangulate_ring (concave single ring) or trapezoid_decompose
+(multi-ring: holes, islands, nesting) — each piece cut with
+Cyrus–Beck / Sutherland–Hodgman.  Invalid rings (self-intersecting,
+boundary-crossing) are refused by ring_is_simple /
+rings_boundaries_disjoint and the caller keeps boundary-crossing
+geometries uncut (fail-safe, never a wrong cut).
 """
 
 from __future__ import annotations
@@ -266,12 +269,178 @@ def _points_in_triangle(pts, a, b, c):
     return (d1 >= 0) & (d2 >= 0) & (d3 >= 0)
 
 
+def _seg_orient(a, b, c):
+    """Sign of the cross product (b-a)×(c-a): +1 / 0 / -1."""
+    v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    return 0 if v == 0.0 else (1 if v > 0.0 else -1)
+
+
+def _on_segment(a, b, c):
+    """Collinear point c lies on closed segment [a, b]."""
+    return (
+        min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+    )
+
+
+def _segments_intersect(p1, p2, q1, q2):
+    """Closed-segment intersection test (proper crossings AND improper
+    touch/overlap), via orientation signs — the exact predicate modulo
+    float rounding of the cross products themselves."""
+    o1 = _seg_orient(p1, p2, q1)
+    o2 = _seg_orient(p1, p2, q2)
+    o3 = _seg_orient(q1, q2, p1)
+    o4 = _seg_orient(q1, q2, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and _on_segment(p1, p2, q1):
+        return True
+    if o2 == 0 and _on_segment(p1, p2, q2):
+        return True
+    if o3 == 0 and _on_segment(q1, q2, p1):
+        return True
+    if o4 == 0 and _on_segment(q1, q2, p2):
+        return True
+    return False
+
+
+def ring_is_simple(ring):
+    """True iff the ring (open or closed form) is a simple polygon: no
+    two non-adjacent edges intersect or touch, and no zero-length or
+    repeated vertices.  O(n²) exact segment tests — driver-side only,
+    AOI rings are small.  Non-simple rings make ear-clipping (and any
+    area/containment semantics) undefined, so callers refuse them."""
+    p = np.asarray(ring, dtype=np.float64)
+    if len(p) and np.array_equal(p[0], p[-1]):
+        p = p[:-1]
+    n = len(p)
+    if n < 3:
+        return False
+    if len(np.unique(p, axis=0)) != n:
+        return False  # repeated vertex ⇒ pinch point
+    for i in range(n):
+        # spike: consecutive edges collinear AND doubling back
+        a, b, c = p[i - 1], p[i], p[(i + 1) % n]
+        if _seg_orient(a, b, c) == 0 and (
+            (a[0] - b[0]) * (c[0] - b[0]) + (a[1] - b[1]) * (c[1] - b[1])
+        ) > 0.0:
+            return False
+    for i in range(n):
+        a1, a2 = p[i], p[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share a vertex by construction
+            b1, b2 = p[j], p[(j + 1) % n]
+            if _segments_intersect(a1, a2, b1, b2):
+                return False
+    return True
+
+
+def rings_boundaries_disjoint(rings):
+    """True iff no edge of any ring intersects/touches an edge of any
+    OTHER ring (proper nesting or full separation — the precondition
+    for the even-odd region to be well defined as outer∖holes ∪
+    islands).  O((ΣV)²) exact segment tests, driver-side only."""
+    closed = []
+    for r in rings:
+        p = np.asarray(r, dtype=np.float64)
+        if not np.array_equal(p[0], p[-1]):
+            p = np.vstack([p, p[0]])
+        closed.append(p)
+    for i in range(len(closed)):
+        for j in range(i + 1, len(closed)):
+            a, b = closed[i], closed[j]
+            for k in range(len(a) - 1):
+                for m in range(len(b) - 1):
+                    if _segments_intersect(a[k], a[k + 1], b[m], b[m + 1]):
+                        return False
+    return True
+
+
+def trapezoid_decompose(rings):
+    """Even-odd region of a multi-ring AOI (outer(s) minus holes,
+    arbitrary nesting) → list of convex pieces whose union is EXACTLY
+    the region: a vertical-slab sweep.  All ring vertex x-coordinates
+    cut the plane into slabs; inside a slab no vertex is strictly
+    interior, so every non-vertical edge either spans the slab or
+    misses it, the spanning segments are vertically ordered (rings are
+    simple + pairwise disjoint ⇒ no crossings), and even-odd pairing
+    of consecutive segments yields convex trapezoids.  This is the
+    multi-ring / holes generalization of triangulate_ring — same
+    contract: [] means "refused, caller falls back to keep-uncut".
+
+    Piece count is O(V × nesting-depth) (more pieces than a
+    triangulation, but each is convex and the decomposition is robust
+    for ANY simple-ring configuration).  Driver-side only; AOI rings
+    are small.  Splits along slab boundaries are cosmetic (part
+    structure, not coverage) — same caveat as the triangulation path."""
+    closed = []
+    for r in rings:
+        p = np.asarray(r, dtype=np.float64)
+        if not ring_is_simple(p):
+            return []
+        if not np.array_equal(p[0], p[-1]):
+            p = np.vstack([p, p[0]])
+        closed.append(p)
+    if not rings_boundaries_disjoint(closed):
+        return []
+
+    a = np.concatenate([p[:-1] for p in closed])
+    b = np.concatenate([p[1:] for p in closed])
+    nonvert = a[:, 0] != b[:, 0]
+    a, b = a[nonvert], b[nonvert]
+    # orient every edge left→right so interpolation is uniform
+    flip = a[:, 0] > b[:, 0]
+    a[flip], b[flip] = b[flip].copy(), a[flip].copy()
+
+    xs = np.unique(np.concatenate([p[:, 0] for p in closed]))
+    pieces = []
+    for s in range(len(xs) - 1):
+        x1, x2 = xs[s], xs[s + 1]
+        span = (a[:, 0] <= x1) & (b[:, 0] >= x2)
+        ea, eb = a[span], b[span]
+        if len(ea) == 0:
+            continue
+        if len(ea) % 2:
+            return []  # parity violation ⇒ degenerate input, refuse
+        t1 = (x1 - ea[:, 0]) / (eb[:, 0] - ea[:, 0])
+        t2 = (x2 - ea[:, 0]) / (eb[:, 0] - ea[:, 0])
+        y1 = ea[:, 1] + t1 * (eb[:, 1] - ea[:, 1])
+        y2 = ea[:, 1] + t2 * (eb[:, 1] - ea[:, 1])
+        order = np.lexsort((y2, y1))
+        y1, y2 = y1[order], y2[order]
+        for k in range(0, len(y1), 2):
+            lo1, lo2, hi1, hi2 = y1[k], y2[k], y1[k + 1], y2[k + 1]
+            quad = [[x1, lo1], [x2, lo2], [x2, hi2], [x1, hi1]]
+            # drop duplicate corners (triangle at a vertex) + degenerates
+            ring_out = [quad[0]]
+            for q in quad[1:]:
+                if q != ring_out[-1]:
+                    ring_out.append(q)
+            if ring_out[0] == ring_out[-1]:
+                ring_out.pop()
+            if len(ring_out) < 3:
+                continue
+            tr = np.array(ring_out)
+            if abs(signed_area(tr)) < 1e-18:
+                continue
+            pieces.append(_ensure_ccw(tr))
+    return pieces
+
+
 def triangulate_ring(ring):
     """Ear-clipping triangulation of a simple (possibly concave) ring.
     Returns a list of (3,2) CCW triangles — the convex decomposition
     that lets the Cyrus–Beck / Sutherland–Hodgman kernels cut against
     concave AOIs exactly (clip per triangle, union of the pieces).
-    O(n²) driver-side; AOI rings are small."""
+    O(n²) driver-side; AOI rings are small.
+
+    Ear-clipping is undefined on non-simple input, so self-intersecting
+    rings are REFUSED up front (returns []) rather than silently
+    producing an overlapping decomposition — callers treat [] as
+    "cutting unsupported" and take the documented keep-uncut fallback."""
+    if not ring_is_simple(ring):
+        return []
     p = _ensure_ccw(ring)
     idx = list(range(len(p)))
     tris = []

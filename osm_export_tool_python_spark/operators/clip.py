@@ -23,12 +23,16 @@ At 100 TB the win is step 2: the cover broadcast is a few KB–MB, the
 candidate fraction is the AOI-boundary surface area ratio, and no
 shuffle is introduced — classification and clipping are narrow maps.
 
-Exactness: cutting is exact for convex AOIs (direct Cyrus–Beck /
-Sutherland–Hodgman) AND for concave hole-free AOIs (ear-clip
-triangulation into convex pieces, clip per piece, union — pieces may
-carry splits along internal triangulation edges, which changes part
-structure but not coverage).  AOIs WITH HOLES keep the v1 policy:
-non-intersecting features drop exactly, crossing geometries stay uncut.
+Exactness: cutting is exact for ALL valid AOIs — convex (direct
+Cyrus–Beck / Sutherland–Hodgman), concave single-ring (ear-clip
+triangulation into convex pieces, clip per piece, union), and
+multi-ring with holes / islands / arbitrary nesting (even-odd
+trapezoid decomposition, geomkernel.trapezoid_decompose).  Pieces may
+carry splits along internal decomposition edges — cosmetic part
+structure, not coverage.  INVALID AOIs (self-intersecting rings,
+rings whose boundaries cross) are refused by the decomposers and fall
+back to the conservative keep-uncut policy: non-intersecting features
+still drop exactly, boundary-crossing geometries stay uncut.
 """
 
 from __future__ import annotations
@@ -62,8 +66,11 @@ class AOI:
     @property
     def clip_polys(self):
         """Convex pieces to cut against: the ring itself when convex, an
-        ear-clip triangulation when concave (hole-free), None when
-        cutting is unsupported (AOI with holes / degenerate ring)."""
+        ear-clip triangulation when concave single-ring, an even-odd
+        trapezoid decomposition for multi-ring AOIs (holes, islands,
+        arbitrary nesting — geomkernel.trapezoid_decompose), None when
+        cutting is unsupported (self-intersecting / degenerate rings —
+        those fail safe to the documented keep-uncut fallback)."""
         if self._clip_polys is False:
             if self.convex:
                 self._clip_polys = [self.rings[0]]
@@ -71,7 +78,8 @@ class AOI:
                 tris = gk.triangulate_ring(self.rings[0])
                 self._clip_polys = tris if tris else None
             else:
-                self._clip_polys = None
+                traps = gk.trapezoid_decompose(self.rings)
+                self._clip_polys = traps if traps else None
         return self._clip_polys
 
     @property
@@ -98,6 +106,14 @@ class AOI:
             return None
         corners = {(x, y) for x in xs for y in ys}
         if {(p[0], p[1]) for p in uniq} != corners:
+            return None
+        # every consecutive edge must be axis-parallel (change exactly
+        # one coordinate): rejects bowtie orderings of the 4 corners,
+        # which would otherwise be silently mis-classified as a full
+        # rectangle (self-intersecting input must fail safe, not pass).
+        closed = np.vstack([pts, pts[:1]])
+        d = closed[1:] - closed[:-1]
+        if not bool(np.all((d[:, 0] == 0) != (d[:, 1] == 0))):
             return None
         return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
 
@@ -229,16 +245,25 @@ def _exact_batch(pdf, rings, clip_polys):
     crosses = gk.batch_edges_cross_rings(pts, edge_valid, owner, n, rings)
 
     intersects = any_in | crosses
-    # polygon-only: AOI entirely inside the feature also intersects
+    fully_inside = all_in & ~crosses
+    # polygon-only two-way containment refinements (one ring-head PIP
+    # per flagged feature; no edge crossed, so a ring is inside the
+    # feature iff its first vertex is):
+    #   - any AOI ring inside the feature ⇒ they DO intersect (AOI ⊂
+    #     feature, or an island ring swallowed whole),
+    #   - an AOI ring inside a vertex-wise fully-inside feature ⇒ that
+    #     ring is a HOLE punched through it — NOT fully inside, must be
+    #     cut (routing to the exact cutter is always safe: the cut of a
+    #     genuinely-inside feature returns the same region).
     gt = pdf["geom_type"].to_numpy()
-    for i in np.nonzero((gt == "polygon") & ~intersects)[0]:
+    ring_heads = np.array([r[0] for r in rings])
+    for i in np.nonzero((gt == "polygon") & (~intersects | fully_inside))[0]:
         ro = np.asarray(ro_obj[i], dtype=np.int64)
         base = feat_off[i]
         feat_rings = [pts[base + ro[j] : base + ro[j + 1]] for j in range(len(ro) - 1)]
-        if gk.points_in_rings(rings[0][:1], feat_rings)[0]:
+        if gk.points_in_rings(ring_heads, feat_rings).any():
             intersects[i] = True
-
-    fully_inside = all_in & ~crosses
+            fully_inside[i] = False
     keep_whole = intersects & (fully_inside | (clip_polys is None))
     cut_idx = np.nonzero(intersects & ~keep_whole)[0]
 

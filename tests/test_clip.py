@@ -187,3 +187,149 @@ def test_multiring_phantom_edge_not_counted(spark):
     row = (9, "relation", "polygon", {"a": "1"}, xs, ys, roffs, poffs)
     got = _run(spark, aoi, [row])
     assert got == {}
+
+
+def test_aoi_with_hole_exact_cut(spark):
+    """AOI with a hole (donut): boundary-crossing features are now CUT
+    exactly (even-odd trapezoid decomposition) — numpy length/area
+    oracles.  r2 policy was keep-uncut; VERDICT r3 item #2."""
+    from osm_export_tool_python_spark.functions.geomkernel import signed_area
+
+    outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])
+    aoi = AOI([outer, hole], cover_zoom=8)
+    assert aoi.clip_polys is not None
+    assert sum(abs(signed_area(t)) for t in aoi.clip_polys) == pytest.approx(84.0)
+
+    got = _run(
+        spark,
+        aoi,
+        [
+            _pt(1, 5.0, 5.0),    # centre of the hole → dropped
+            _pt(2, 1.0, 5.0),    # in the donut ring → kept
+            # line crossing the hole at y=5: kept only on [1,3] and [7,9]
+            _line(3, [(1.0, 5.0), (9.0, 5.0)]),
+            # square straddling the hole corner: 3x3 minus 2x2 → area 5
+            _poly(4, [(2, 2), (5, 2), (5, 5), (2, 5)]),
+            # square containing the ENTIRE hole, vertices all in the
+            # donut: must be cut (hole punched out) → 36 - 16 = 20
+            _poly(5, [(2, 2), (8, 2), (8, 8), (2, 8)]),
+            # fully inside the hole → dropped
+            _poly(6, [(4, 4), (6, 4), (6, 6), (4, 6)]),
+            # fully inside the donut ring → kept whole, uncut
+            _poly(7, [(1, 1), (2, 1), (2, 2), (1, 2)]),
+        ],
+    )
+    assert set(got) == {2, 3, 4, 5, 7}
+
+    r3 = got[3]
+    pts = np.stack([r3["xs"], r3["ys"]], axis=1)
+    total = 0.0
+    for i in range(len(r3["ring_offsets"]) - 1):
+        seg = pts[r3["ring_offsets"][i] : r3["ring_offsets"][i + 1]]
+        assert (seg[:, 1] == 5.0).all()
+        assert not ((seg[:, 0] > 3.0) & (seg[:, 0] < 7.0)).any()
+        total += float(np.abs(np.diff(seg[:, 0])).sum())
+    assert total == pytest.approx(4.0)
+
+    def _area(r):
+        p = np.stack([r["xs"], r["ys"]], axis=1)
+        return sum(
+            abs(signed_area(p[r["ring_offsets"][i] : r["ring_offsets"][i + 1]]))
+            for i in range(len(r["ring_offsets"]) - 1)
+        )
+
+    assert _area(got[4]) == pytest.approx(5.0)
+    assert _area(got[5]) == pytest.approx(20.0)
+    assert _area(got[7]) == pytest.approx(1.0)
+    # feature 7 passed through untouched (no cosmetic splits)
+    assert got[7]["xs"] == [1.0, 2.0, 2.0, 1.0, 1.0]
+
+
+def test_two_island_aoi_exact_cut(spark):
+    """Archipelago AOI (two disjoint outer rings): exact cutting and
+    correct intersect routing for a feature that swallows both islands
+    whole (no vertex inside, no edge crossing — intersect is detected
+    via the any-ring-head containment check)."""
+    from osm_export_tool_python_spark.functions.geomkernel import signed_area
+
+    isl1 = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    isl2 = np.array([[6.0, 6.0], [9.0, 6.0], [9.0, 9.0], [6.0, 9.0]])
+    aoi = AOI([isl1, isl2], cover_zoom=8)
+    assert aoi.clip_polys is not None
+    assert sum(abs(signed_area(t)) for t in aoi.clip_polys) == pytest.approx(25.0)
+
+    got = _run(
+        spark,
+        aoi,
+        [
+            _pt(1, 2.0, 2.0),   # island 1 → kept
+            _pt(2, 5.0, 5.0),   # the strait between islands → dropped
+            # diagonal line from island 1 to island 2 through the gap
+            _line(3, [(2.0, 2.0), (8.0, 8.0)]),
+            # polygon containing BOTH islands entirely → cut to 16 + 9
+            _poly(4, [(-1, -1), (10, -1), (10, 10), (-1, 10)]),
+            # polygon wholly in the strait → dropped
+            _poly(5, [(4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5)]),
+        ],
+    )
+    assert set(got) == {1, 3, 4}
+
+    r3 = got[3]
+    pts = np.stack([r3["xs"], r3["ys"]], axis=1)
+    total = 0.0
+    for i in range(len(r3["ring_offsets"]) - 1):
+        seg = pts[r3["ring_offsets"][i] : r3["ring_offsets"][i + 1]]
+        d = np.diff(seg, axis=0)
+        total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+        # every piece stays within one island's bbox
+        in1 = (seg[:, 0] <= 4.0).all() and (seg[:, 1] <= 4.0).all()
+        in2 = (seg[:, 0] >= 6.0).all() and (seg[:, 1] >= 6.0).all()
+        assert in1 or in2
+    # inside island 1 for t∈[0, 1/3] of the 6√2 diagonal → 2√2; island 2
+    # for t∈[2/3, 1] → 2√2
+    assert total == pytest.approx(4.0 * np.sqrt(2.0))
+
+    def _area(r):
+        p = np.stack([r["xs"], r["ys"]], axis=1)
+        return sum(
+            abs(signed_area(p[r["ring_offsets"][i] : r["ring_offsets"][i + 1]]))
+            for i in range(len(r["ring_offsets"]) - 1)
+        )
+
+    assert _area(got[4]) == pytest.approx(25.0)
+
+
+def test_as_rect_rejects_bowtie():
+    """A self-intersecting 4-point ring whose vertex set equals the 4
+    bbox corners must NOT be classified as a rectangle (ADVICE r2):
+    the bowtie covers only part of the bbox."""
+    bowtie = np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]])
+    aoi = AOI([bowtie], cover_zoom=8)
+    assert aoi.as_rect() is None
+    # and the non-simple ring is refused by the cutter → keep-uncut path
+    assert aoi.clip_polys is None
+    # a genuine rectangle still qualifies, in either winding
+    assert AOI([SQUARE], cover_zoom=8).as_rect() == (0.0, 0.0, 10.0, 10.0)
+    assert AOI([SQUARE[::-1]], cover_zoom=8).as_rect() == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_invalid_multiring_aoi_falls_back_uncut(spark):
+    """Rings whose boundaries CROSS are refused by trapezoid_decompose:
+    drop/keep still exact (even-odd), crossing features kept uncut."""
+    a = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    b = np.array([[5.0, 5.0], [15.0, 5.0], [15.0, 15.0], [5.0, 15.0]])
+    aoi = AOI([a, b], cover_zoom=8)
+    assert aoi.clip_polys is None
+    got = _run(
+        spark,
+        aoi,
+        [
+            _pt(1, 2.0, 2.0),            # even-odd inside → kept
+            _pt(2, 7.0, 7.0),            # in the overlap (even-odd OUT) → dropped
+            _line(3, [(1.0, 1.0), (3.0, 1.0)]),   # inside → kept
+            _line(4, [(-2.0, 2.0), (2.0, 2.0)]),  # crossing → kept UNCUT
+        ],
+    )
+    assert set(got) == {1, 3, 4}
+    assert got[4]["xs"] == [-2.0, 2.0]

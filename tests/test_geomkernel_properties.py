@@ -112,13 +112,17 @@ def test_ring_clipped_by_itself_keeps_area(poly):
 def test_triangulation_partitions_area(data):
     """Ear-clip triangulation of a (possibly concave) simple polygon:
     triangle areas sum to the ring area."""
-    # build a star-shaped (simple, possibly concave) polygon around origin
+    # build a star-shaped (simple, possibly concave) polygon around the
+    # origin.  A vertices-at-sorted-angles polygon is simple iff the
+    # origin is in its kernel, which requires EVERY consecutive angular
+    # gap (including the wrap) to be < π — so draw n gap weights in
+    # [0.5, 1] and normalize them to sum 2π: the largest gap is then at
+    # most 2π/( (n-1)/2 + 1 ) ≤ 0.8π for n ≥ 4.  (The old generator
+    # drew raw angles, which could cluster in a small arc and yield a
+    # self-intersecting ring — ear-clipping is undefined there.)
     n = data.draw(st.integers(min_value=4, max_value=12))
-    angles = np.sort(
-        np.array([data.draw(st.floats(0, 2 * np.pi - 1e-3)) for _ in range(n)])
-    )
-    if len(np.unique(np.round(angles, 6))) < n:
-        angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gaps = np.array([data.draw(st.floats(0.5, 1.0)) for _ in range(n)])
+    angles = np.concatenate([[0.0], np.cumsum(gaps)[:-1]]) * (2 * np.pi / gaps.sum())
     radii = np.array([data.draw(st.floats(1.0, 20.0)) for _ in range(n)])
     ring = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
     tris = gk.triangulate_ring(ring)
@@ -145,3 +149,34 @@ def test_points_in_rings_matches_halfplane_for_convex(poly, data):
     # points clearly inside must be in; points clearly outside must be out
     assert got[strict_in & loose_in].all() or not (strict_in & loose_in).any()
     assert (~got[~loose_in]).all() or (~loose_in).sum() == 0
+
+
+def test_triangulate_refuses_self_intersecting_quad():
+    """Regression: the exact quad the old (unsound) star generator
+    produced — angles clustered in [0, 2] rad so the origin is outside
+    the kernel and edges 1 and 3 cross.  triangulate_ring must REFUSE
+    it (return []) instead of silently emitting an overlapping
+    decomposition (VERDICT r2 'What's wrong' #1)."""
+    angles = np.array([0.0, 0.5, 1.0, 2.0])
+    radii = np.array([2.0, 2.0, 1.0, 2.0])
+    ring = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
+    assert not gk.ring_is_simple(ring)
+    assert gk.triangulate_ring(ring) == []
+
+
+def test_ring_is_simple_basic_cases():
+    square = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    assert gk.ring_is_simple(square)
+    assert gk.ring_is_simple(np.vstack([square, square[:1]]))  # closed form
+    bowtie = np.array([[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0]])
+    assert not gk.ring_is_simple(bowtie)
+    spike = np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 0.0], [2.0, 3.0]])
+    assert not gk.ring_is_simple(spike)
+    concave = np.array(  # L-shape: simple but concave — must pass
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [2.0, 2.0], [2.0, 4.0], [0.0, 4.0]]
+    )
+    assert gk.ring_is_simple(concave)
+    assert len(gk.triangulate_ring(concave)) == 4
+    assert not gk.ring_is_simple(square[:2])  # too few vertices
+    repeated = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [4.0, 0.0]])
+    assert not gk.ring_is_simple(repeated)
