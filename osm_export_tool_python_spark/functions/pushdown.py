@@ -299,28 +299,44 @@ class TagsFilter:
 
 
 def pushdown_keys(expr):
-    """All tag keys a predicate can touch — the sargable candidate set.
+    """Presence-guarantee key set for the scan-level coarse filter:
+    every row matching ``expr`` is guaranteed to carry at least one of
+    the returned keys; None = no guarantee (not sargable).
 
-    Any row matching ``expr`` must have at least one of these keys
-    present, EXCEPT when the expression contains a ``!=`` leaf (true on
-    absent keys, so no presence guarantee survives an OR with it) —
-    then returns None (= not sargable)."""
-    keys = []
-    sargable = [True]
+    Computed structurally, so a ``!=`` leaf (true on absent keys — no
+    presence guarantee by itself) only poisons the branches it can
+    actually satisfy alone:
+      - leaf ``!=``            → None,
+      - other leaves on key k  → {k} (presence semantics: =, range,
+        IN, IS NOT NULL are all false/NULL when the key is absent),
+      - AND(a, b)              → either side's guarantee (a matching
+        row satisfies both, so pick the SMALLER valid set — smaller
+        sets prune more rows at the scan); None only if both are None,
+      - OR(a, b)               → union; None if either side is None,
+      - ()  (match-nothing)    → ∅ (vacuous: no row matches at all).
+
+    So ``(a != 'x') AND b IS NOT NULL`` → ['b'] (the r2 version
+    returned None for any expression containing a ``!=``)."""
 
     def walk(e):
         if not e:
-            return
+            return []
         op = e[0]
-        if op in ("and", "or"):
-            walk(e[1])
-            walk(e[2])
-        else:
-            if op == "!=":
-                sargable[0] = False
-            keys.append(e[1])
+        if op == "and":
+            k1, k2 = walk(e[1]), walk(e[2])
+            if k1 is None:
+                return k2
+            if k2 is None:
+                return k1
+            return k1 if len(k1) <= len(k2) else k2
+        if op == "or":
+            k1, k2 = walk(e[1]), walk(e[2])
+            if k1 is None or k2 is None:
+                return None
+            return k1 + [k for k in k2 if k not in k1]
+        if op == "!=":
+            return None
+        return [e[1]]
 
-    walk(expr)
-    # An AND still guarantees presence of the non-'!=' side, but keep the
-    # conservative rule: any '!=' anywhere → not sargable.
-    return None if not sargable[0] else list(dict.fromkeys(keys))
+    out = walk(expr)
+    return None if out is None else list(dict.fromkeys(out))

@@ -11,9 +11,13 @@ keys.  This implementation is the scalable union+window form:
   2. ONE shuffle: window partitioned by the key, ordered by
      (ts, side) with right rows sorting before left rows at equal ts
      (inclusive semantics: a right row AT the left timestamp matches),
-  3. running `last(payload, ignorenulls=True)` propagates the most
-     recent right payload onto every subsequent row,
-  4. keep the left rows.
+  3. running `last(payload, ignorenulls=True)` over ONE struct packing
+     all right payload columns propagates the most recent right ROW
+     onto every subsequent row (per-column propagation would stitch
+     fields from different right rows whenever the latest row holds a
+     legitimate NULL — the struct is non-NULL exactly on right rows, so
+     the whole payload always comes from the single matched row),
+  4. keep the left rows and unpack the struct.
 
 Cost: one hash shuffle + one in-partition sort — the same price as the
 sessionize window, no join explosion, AQE skew-split applies.  All
@@ -47,13 +51,21 @@ def asof_join(
     payloads at duplicate timestamps."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if not right_cols:
+        return left
 
     l2 = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    r2 = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-    ).withColumn("__side", F.lit(0))
+    # a NULL right timestamp can never be "the most recent earlier row"
+    # (it would sort first and leak its payload onto every left row)
+    r2 = (
+        right.where(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
 
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
@@ -61,6 +73,8 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__rpay", F.last("__rpay", ignorenulls=True).over(w))
+    out = u.where(F.col("__side") == 1)
     for c in right_cols:
-        u = u.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-    return u.where(F.col("__side") == 1).drop("__ts", "__side")
+        out = out.withColumn(c + suffix, F.col("__rpay")[c])
+    return out.drop("__ts", "__side", "__rpay")

@@ -292,7 +292,9 @@ def q_lsh_near_dup(spark, sf_dir):
 
 
 _LSH_CTE_BODY = """toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -402,8 +404,10 @@ def q_doc_simhash16(spark, sf_dir):
 
 def _sql_simhash_cte(n_bits=16, alias="simhash16"):
     return (
-        "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
-        " '\\s+') AS t FROM documents),\n"
+        "toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        " THEN CAST([] AS VARCHAR[])"
+        " ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        " FROM documents),\n"
         "sh AS (SELECT doc_id, CAST(("
         + " + ".join(
             "CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), %d, 1) IN "

@@ -42,7 +42,11 @@ def partition_lineage(spark, path: str) -> dict:
     filesystem works: a zero-data-column scan grouped by
     `input_file_name` — row counts come from row-group metadata and no
     value pages are decoded, so it stays metadata-priced (not the full
-    second data pass the original implementation did)."""
+    second data pass the original implementation did).  The file LIST
+    comes from the Hadoop FileSystem API, not from the groupBy (which
+    yields no row for zero-row part files — empty partitions do write
+    such files, and they must appear in the manifest with count 0 the
+    same way the local-path branch lists them)."""
     if "://" not in path:
         import pyarrow.parquet as pq
 
@@ -55,6 +59,15 @@ def partition_lineage(spark, path: str) -> dict:
 
     from pyspark.sql import functions as F
 
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+
     rows = (
         spark.read.parquet(path)
         .select(F.input_file_name().alias("f"))
@@ -62,7 +75,8 @@ def partition_lineage(spark, path: str) -> dict:
         .count()
         .collect()
     )
-    return {os.path.basename(r["f"]): r["count"] for r in rows}
+    counts = {os.path.basename(r["f"]): r["count"] for r in rows}
+    return {name: counts.get(name, 0) for name in sorted(names)}
 
 
 def export(

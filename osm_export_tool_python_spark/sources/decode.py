@@ -135,7 +135,8 @@ def _le_double(col, start_byte):
       conv(hex8, 16, 10); mantissa = (hi & 0xFFFFF)*2^32 + lo is ≤ 2^52
       so the long is exact, mant/2^52 is a power-of-two division (exact
       in binary), and multiplying by pow(2, exp-1023) is exact — the
-      reconstruction is bit-identical to frombuffer('<f8')."""
+      reconstruction is bit-identical to frombuffer('<f8'), including
+      the exp==0x7FF specials (±Inf / NaN)."""
 
     def byte_hex(i):
         return F.substring(col, 2 * (start_byte + i) + 1, 2)
@@ -150,8 +151,10 @@ def _le_double(col, start_byte):
     exp = F.shiftright(hi, 20).bitwiseAND(F.lit(0x7FF))
     mant = hi.bitwiseAND(F.lit(0xFFFFF)) * F.lit(4294967296) + lo
     frac = mant.cast("double") / F.lit(float(2**52))
-    mag = F.when(exp == 0, frac * F.lit(float(2.0**-1022))).otherwise(
-        (F.lit(1.0) + frac) * F.pow(F.lit(2.0), (exp - 1023).cast("double"))
+    mag = (
+        F.when(exp == 0x7FF, F.when(mant == 0, F.lit(float("inf"))).otherwise(F.lit(float("nan"))))
+        .when(exp == 0, frac * F.lit(float(2.0**-1022)))
+        .otherwise((F.lit(1.0) + frac) * F.pow(F.lit(2.0), (exp - 1023).cast("double")))
     )
     return F.when(sign == 1, -mag).otherwise(mag)
 

@@ -44,11 +44,33 @@ def test_asof_multiple_payload_columns_single_window(spark):
     row = out.collect()[0]
     assert (row["x_r"], row["y_r"]) == (8, "b")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # both payload columns collapse into ONE Window operator (every
-    # Window line carries both last() expressions; AQE prints the plan
-    # twice — initial and final — so count lines, not occurrences)
+    # all payload columns ride ONE struct through ONE last() in ONE
+    # Window operator (AQE prints the plan twice — initial and final —
+    # so count lines, not occurrences)
     win_lines = [l for l in plan.splitlines() if "Window [" in l]
-    assert win_lines and all(
-        "last(x_r" in l and "last(y_r" in l for l in win_lines
-    )
+    assert win_lines and all("last(__rpay" in l for l in win_lines)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_null_payload_and_null_ts(spark):
+    """Two latent traps (ADVICE r2): a legitimately-NULL field in the
+    LATEST right row must come through as NULL (not be back-filled from
+    an older row — the whole payload must come from one right row), and
+    a right row with NULL timestamp must never match anything."""
+    left = spark.createDataFrame(
+        [(1, _ts(9), "l1"), (2, _ts(9), "l2")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            # k=1: older row has x=7,y='a'; NEWER row has x=8, y=NULL
+            (1, _ts(1), 7, "a"),
+            (1, _ts(8), 8, None),
+            # k=2: only a NULL-timestamp row — must NOT propagate
+            (2, None, 9, "z"),
+        ],
+        "k long, ts timestamp, x long, y string",
+    )
+    got = {r["name"]: (r["x_r"], r["y_r"]) for r in asof_join(left, right, on="k").collect()}
+    assert got["l1"] == (8, None)     # NOT (8, 'a') — no cross-row stitching
+    assert got["l2"] == (None, None)  # NULL-ts right row never matches

@@ -237,3 +237,28 @@ def test_create_package_and_posm_bundle(spark, docs, tmp_path_factory):
         tiles = [v for v in m["contents"].values() if v.get("type") == "MBTiles"]
         assert tiles and tiles[0]["minzoom"] == 4 and tiles[0]["maxzoom"] == 6
         assert all(k in names for k in m["contents"])
+
+
+def test_partition_lineage_uri_branch_lists_zero_row_files(spark, tmp_path):
+    """The URI branch of partition_lineage derives counts from a
+    groupBy(input_file_name()), which yields NO row for zero-row part
+    files — they must still appear in the manifest with count 0, same
+    as the local-path branch (ADVICE r2).  file:// exercises the Hadoop
+    FileSystem path without needing a remote store."""
+    import shutil
+
+    from osm_export_tool_python_spark.plans.export import partition_lineage
+
+    d = tmp_path / "ds"
+    spark.range(10).coalesce(2).write.parquet(str(d))
+    # simulate a backend that wrote an empty part file (schema-only)
+    empty = tmp_path / "empty"
+    spark.range(0).selectExpr("id").write.parquet(str(empty))
+    empty_part = next(p for p in empty.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(empty_part, d / "part-99999-empty.snappy.parquet")
+
+    local = partition_lineage(spark, str(d))
+    uri = partition_lineage(spark, "file://" + str(d))
+    assert local == uri
+    assert uri["part-99999-empty.snappy.parquet"] == 0
+    assert sum(uri.values()) == 10 and len(uri) == 3

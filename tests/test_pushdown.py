@@ -107,6 +107,24 @@ class TestPushdownKeys:
         assert pushdown_keys(to_prefix("building != 'yes'")) is None
         assert pushdown_keys(to_prefix("a = 'x' or b != 'y'")) is None
 
+    def test_and_recovers_guarantee_from_non_neq_side(self):
+        # a '!=' no longer poisons the whole expression: the AND's other
+        # side still guarantees presence (VERDICT r2 next #6)
+        assert pushdown_keys(to_prefix("a != 'x' and b is not null")) == ["b"]
+        assert pushdown_keys(to_prefix("b = '1' and a != 'x'")) == ["b"]
+        # OR of two such ANDs unions the recovered guarantees
+        assert pushdown_keys(
+            to_prefix("(a != 'x' and b = '1') or (c != 'y' and d > '2')")
+        ) == ["b", "d"]
+        # but an OR with a bare '!=' side still has no guarantee
+        assert pushdown_keys(to_prefix("b = '1' or a != 'x'")) is None
+
+    def test_and_picks_smaller_side(self):
+        # both sides sargable: the smaller set prunes more at the scan
+        assert pushdown_keys(
+            to_prefix("(a = '1' or b = '2') and c is not null")
+        ) == ["c"]
+
     def test_empty(self):
         assert pushdown_keys(()) == []
 

@@ -108,6 +108,7 @@ def test_jvm_wkb_decoder_bit_identical(spark):
     def wkb_hex(lon, lat):
         return (b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", lon, lat)).hex()
 
+    vals += [float("inf"), float("-inf")]  # exp==0x7FF specials (ADVICE r2)
     rows = [(wkb_hex(v, vals[-1 - i]),) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "h string")
     got = df.select(
@@ -117,6 +118,20 @@ def test_jvm_wkb_decoder_bit_identical(spark):
     for r in got:
         assert struct.pack("<d", r["a"]["lon"]) == struct.pack("<d", r["b"]["lon"])
         assert struct.pack("<d", r["a"]["lat"]) == struct.pack("<d", r["b"]["lat"])
+
+    # NaN payloads: the Column path decodes a true NaN; the pandas-UDF
+    # reference path cannot distinguish NaN from null (pandas uses NaN
+    # as its Arrow null sentinel), so only the Column path is asserted.
+    import math
+
+    nan_df = spark.createDataFrame([(wkb_hex(float("nan"), 1.5),)], "h string")
+    r = nan_df.select(
+        decode.wkb_point_decode_col(F.col("h")).alias("a"),
+        decode.wkb_point_decode(F.col("h")).alias("b"),
+    ).collect()[0]
+    assert math.isnan(r["a"]["lon"])
+    assert r["b"]["lon"] is None  # pandas NaN→null conflation, documented
+    assert r["a"]["lat"] == 1.5 == r["b"]["lat"]
 
 
 def test_jvm_wkb_decoder_on_synth(spark):

@@ -176,3 +176,46 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds the same chain converges to min id 0
     got = {r["id"]: r["component"] for r in connected_components(chain).collect()}
     assert set(got.values()) == {0}
+
+
+def test_empty_doc_oracle_parity(spark, tmp_path):
+    """Empty / whitespace-only docs: Spark tokens() returns [] while the
+    DuckDB oracles used regexp_split_to_array, which returns [''] —
+    giving nonzero simhash bits and different shingles in the oracle
+    (ADVICE r2).  Both oracle CTEs now carry the same empty-string
+    guard; prove parity on a table that actually CONTAINS such docs."""
+    import duckdb
+    import pandas as pd
+
+    from osm_export_tool_python_spark.plans import driver_queries as dq
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d0", "d1", "d2", "d3"],
+            "text": ["", "   \t  ", "alpha beta gamma delta", "alpha beta gamma delta"],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet/*.parquet')" % sf
+    )
+
+    got = {r["doc_id"]: r["simhash16"] for r in dq.q_doc_simhash16(spark, sf).collect()}
+    want = {r[0]: r[1] for r in con.execute(dq.SQL_DOC_SIMHASH16).fetchall()}
+    assert got == want
+    assert got["d0"] == 0  # truly-empty doc hashes to 0 bits
+    # d1 is whitespace-with-a-TAB: both engines trim spaces only, so it
+    # keeps a content token and hashes identically (parity, not zero)
+
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in dq.q_lsh_near_dup(spark, sf).collect()
+    }
+    want_pairs = {(r[0], r[1]) for r in con.execute(dq.SQL_LSH_NEAR_DUP).fetchall()}
+    assert got_pairs == want_pairs
+    # the twin real docs pair up; the empty/whitespace docs pair with
+    # nothing (d0's '' shingle and d1's tab token share no shingles
+    # with anything — and, critically, the oracle agrees row-for-row)
+    assert got_pairs == {("d2", "d3")}
