@@ -150,17 +150,22 @@ def main():
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "themed OSM export + operator suite wall time, local[%d]" % cpus,
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "themed OSM export + operator suite wall time, local[%d]" % cpus,
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # round-over-round stability point: the 2x-docs pinned-local[8]
+    # stretch run recorded by `scripts/bench_scaling.py --stretch`
+    # (too slow to re-run inside every bench invocation; the recorded
+    # figure is embedded so BENCH_r{N}.json carries it)
+    stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
+    if os.path.exists(stretch_path):
+        with open(stretch_path) as f:
+            out["stretch_2x_local8"] = json.load(f)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -246,6 +246,83 @@ def cosine_sim_col(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def _rademacher_sign(j: int, d: int) -> float:
+    """Deterministic ±1 hyperplane entry (j = plane, d = dimension):
+    an LCG-style mix identical in Python, Column math and DuckDB SQL —
+    the property the oracle-parity sketch needs.  Rademacher planes
+    are a standard substitute for Gaussian ones in sign sketches
+    (same collision-probability guarantee up to constants)."""
+    return 1.0 if ((1103515245 * (j * 97 + d) + 12345) >> 8) & 1 else -1.0
+
+
+def rademacher_sketch_col(vec_col, dim: int, n_planes: int = 8):
+    """Pure-Column random-hyperplane sign sketch: bit j of the result
+    is sign(<v, plane_j>) with deterministic ±1 planes.  No Python
+    crossing — the ±1 products are compile-time literals, so the whole
+    sketch is one codegen'd expression; at 10^12 vectors this keeps
+    the bucketing stage entirely JVM-side (the numpy-UDF variant in
+    embedding_near_dup_pairs exists for arbitrary Gaussian planes).
+    Terms accumulate left-to-right, matching DuckDB list_sum order —
+    bit-identical dots, so bucket assignment is oracle-checkable."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sk = None
+    for j in range(n_planes):
+        dot = None
+        for d in range(dim):
+            t = F.element_at(v, d + 1) * F.lit(_rademacher_sign(j, d))
+            dot = t if dot is None else dot + t
+        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sk = bit if sk is None else sk + bit
+    return sk
+
+
+def _multiprobe_verify(base: DataFrame, n_planes: int, threshold: float) -> DataFrame:
+    """Shared bucket-join + exact-cosine verify for sign sketches:
+    probe the exact sketch plus every single-bit flip (misses only
+    pairs whose sketches differ in ≥2 bits)."""
+    probes = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                F.col("sk"),
+                *[F.col("sk").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    exact = base.withColumnRenamed("sk", "bucket")
+    return (
+        probes.alias("a")
+        .join(exact.alias("b"), "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs_col(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = None,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """embedding_near_dup_pairs with the deterministic pure-Column
+    Rademacher sketch — the oracle-checkable / fully-JVM variant."""
+    if dim is None:
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "sk", rademacher_sketch_col("v", dim, n_planes)
+    )
+    return _multiprobe_verify(base, n_planes, threshold)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -284,30 +361,7 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "sk", sketch(F.col("v"))
     )
-    probes = base.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                F.col("sk"),
-                *[F.col("sk").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
-            )
-        ).alias("bucket"),
-    )
-    exact = base.withColumnRenamed("sk", "bucket")
-    pairs = (
-        probes.alias("a")
-        .join(exact.alias("b"), "bucket")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_sim_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-        .distinct()
-    )
-    return pairs
+    return _multiprobe_verify(base, n_planes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,7 @@ def child(mode: str, cpus: int, docs_path: str):
     spark.stop()
 
 
-def skew_stats():
+def skew_stats(docs_path=None):
     """Hot-cell skew: rows per tile shuffle key at z8, unsalted vs
     salted (salt=16)."""
     from pyspark.sql import functions as F
@@ -115,7 +115,7 @@ def skew_stats():
 
     spark = default_session(master="local[16]", shuffle_partitions=32, app_name="skew")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(DOCS_PATH)
+    docs = spark.read.parquet(docs_path or DOCS_PATH)
     feats = assemble.assemble_features(decode.with_entity_meta(docs))
     cells = with_tile_cells(feats.where(F.col("geom_type") == "point"), 8, 8)
 
@@ -137,10 +137,70 @@ def skew_stats():
     return unsalted, salted
 
 
+# --stretch: round-over-round stability benchmark (VERDICT r2 next #7)
+# — the SAME pipeline at 2x the scaling workload (~48.4M docs), pinned
+# local[8], best-of-2.  A fixed (workload, cores) point that future
+# rounds re-run unchanged, so regressions are detectable against a
+# stable configuration; bench.py embeds the recorded JSON into its
+# output line so the driver's BENCH_r{N}.json carries it.
+STRETCH_NODES, STRETCH_WAYS, STRETCH_RELS = 38_400_000, 9_600_000, 384_000
+STRETCH_DOCS_PATH = "/tmp/spark_osm_stretch_docs"
+STRETCH_CPUS = 8
+
+
+def stretch(reuse: bool = False):
+    from osm_export_tool_python_spark.plans.session import default_session
+
+    if not reuse or not os.path.exists(STRETCH_DOCS_PATH):
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="stretch-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, STRETCH_NODES, STRETCH_WAYS, STRETCH_RELS,
+                          STRETCH_DOCS_PATH)
+        spark.stop()
+
+    out = subprocess.run(
+        ["taskset", "-c", "0-%d" % (STRETCH_CPUS - 1), sys.executable,
+         os.path.abspath(__file__), "--child", "jvm", str(STRETCH_CPUS),
+         STRETCH_DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=7200,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("stretch child failed")
+    r = json.loads(line[-1][len("CHILD_RESULT "):])
+
+    (u_mx, u_med, u_n), (s_mx, s_med, s_n) = skew_stats(STRETCH_DOCS_PATH)
+    rec = {
+        "protocol": "pinned local[%d], fresh JVM, untimed warmup, best-of-%d"
+                    % (STRETCH_CPUS, RUNS_PER_LEVEL[("jvm", STRETCH_CPUS)]),
+        "docs": STRETCH_NODES + STRETCH_WAYS + STRETCH_RELS,
+        "cpus": STRETCH_CPUS,
+        "sec": r["sec"],
+        "features": r["features"],
+        "tiles": r["tiles"],
+        "features_per_sec": round(r["features"] / r["sec"], 1),
+        "skew": {
+            "unsalted": {"keys": u_n, "max": u_mx, "median": u_med},
+            "salted16": {"keys": s_n, "max": s_mx, "median": s_med},
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "STRETCH.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
 def main():
     global DOCS_PATH
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stretch":
+        stretch(reuse="--reuse" in sys.argv)
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--reuse":
         DOCS_PATH = sys.argv[2]

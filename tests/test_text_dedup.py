@@ -143,6 +143,40 @@ def test_embedding_near_dup(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(1, 2)}
 
+    # the pure-Column deterministic-plane variant finds the same pair,
+    # with zero Python in the plan (sketch is codegen'd Column math)
+    out = D.embedding_near_dup_pairs_col(df, dim=16, threshold=0.98, n_planes=8)
+    got_col = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got_col == {(1, 2)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rademacher_sketch_matches_numpy(spark):
+    """Column sketch == numpy reference with the same ±1 planes and
+    left-to-right accumulation."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sk"]
+        for r in df.select(
+            "vec_id", D.rademacher_sketch_col("embedding", dim=16).alias("sk")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        sk = 0
+        for j in range(8):
+            dot = 0.0
+            for d in range(16):
+                dot = dot + v[d] * D._rademacher_sign(j, d)
+            if dot > 0:
+                sk |= 1 << j
+        assert got[i] == sk
+
 
 def test_connected_components_clusters(spark):
     """Chain, triangle, isolated pair: every vertex gets the min id of
