@@ -1,0 +1,431 @@
+"""REAL binary geo-format writers — GeoPackage / Shapefile / KML —
+with no GDAL/OGR dependency (none exists in this environment).
+
+The reference delegates these to OGR (tabular.py:86-196 Geopackage /
+Shapefile, tabular.py:32-84 Kml); the formats themselves are public
+specs that need no native library:
+
+  - GeoPackage is a SQLite database (stdlib sqlite3) holding the
+    gpkg_* metadata tables plus one feature table per layer, with
+    geometries as GP-header + standard WKB blobs (OGC 12-128r15 §2.1),
+  - Shapefile is a fixed binary layout (.shp/.shx records + a dBase
+    III .dbf attribute table + .prj/.cpg sidecars — ESRI shapefile
+    technical description, July 1998),
+  - KML is plain XML (OGC 07-147r2).
+
+Distribution contract: the DISTRIBUTED sink remains the partitioned
+parquet dataset written by plans/export.py (lineage, resume, scale);
+these writers materialize the reference-compatible single-file
+artifacts from a streamed `toLocalIterator` pass, exactly matching
+the reference's own single-writer OGR behavior.  At 100 TB the final
+single-file step is the bounded last mile (a .gpkg cannot be written
+from two machines at once in any engine); the heavy pipeline upstream
+stays distributed.
+
+Attribute typing mirrors the reference: every selected key is a
+string column of width 80 (tabular.py:161-163), osm_id is 64-bit
+(tabular.py:153).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+from xml.sax.saxutils import escape
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WKB encoding from the packed-coords feature schema
+# ---------------------------------------------------------------------------
+
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
+
+
+def _rings(row):
+    xs, ys, ro = row["xs"], row["ys"], row["ring_offsets"]
+    return [
+        np.column_stack([xs[ro[i] : ro[i + 1]], ys[ro[i] : ro[i + 1]]])
+        for i in range(len(ro) - 1)
+    ]
+
+
+def _wkb_linestring_body(pts):
+    return struct.pack("<I", len(pts)) + np.asarray(pts, dtype="<f8").tobytes()
+
+
+def wkb_from_packed(geom_type, row) -> bytes:
+    """Little-endian WKB: POINT for points; LINESTRING (or
+    MULTILINESTRING when clipping split the line) for lines;
+    MULTIPOLYGON always for polygons — the reference's forced
+    wkbMultiPolygon layer type (tabular.py:150, 176)."""
+    rings = _rings(row)
+    if geom_type == "point":
+        return struct.pack("<BI", 1, _WKB_POINT) + struct.pack(
+            "<dd", float(row["xs"][0]), float(row["ys"][0])
+        )
+    if geom_type == "line":
+        if len(rings) == 1:
+            return struct.pack("<BI", 1, _WKB_LINESTRING) + _wkb_linestring_body(rings[0])
+        out = struct.pack("<BI", 1, _WKB_MULTILINESTRING) + struct.pack("<I", len(rings))
+        for r in rings:
+            out += struct.pack("<BI", 1, _WKB_LINESTRING) + _wkb_linestring_body(r)
+        return out
+    # polygon: group rings by part (first ring of a part = outer)
+    po = row["part_offsets"]
+    parts = [rings[po[i] : po[i + 1]] for i in range(len(po) - 1)]
+    out = struct.pack("<BI", 1, _WKB_MULTIPOLYGON) + struct.pack("<I", len(parts))
+    for part in parts:
+        out += struct.pack("<BI", 1, _WKB_POLYGON) + struct.pack("<I", len(part))
+        for r in part:
+            out += _wkb_linestring_body(r)
+    return out
+
+
+def gpkg_geom_blob(wkb: bytes, env) -> bytes:
+    """GeoPackage geometry blob: 'GP' magic, version 0, flags
+    0b00000011 (little-endian header + envelope type 1 =
+    [minx, maxx, miny, maxy]), srs_id, envelope, then the WKB."""
+    xmin, ymin, xmax, ymax = env
+    return (
+        b"GP\x00\x03"
+        + struct.pack("<i", 4326)
+        + struct.pack("<dddd", xmin, xmax, ymin, ymax)
+        + wkb
+    )
+
+
+def _envelope(row):
+    xs, ys = row["xs"], row["ys"]
+    return (float(min(xs)), float(min(ys)), float(max(xs)), float(max(ys)))
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage (sqlite3)
+# ---------------------------------------------------------------------------
+
+_GPKG_SRS_ROWS = [
+    ("Undefined Cartesian SRS", -1, "NONE", -1, "undefined", None),
+    ("Undefined Geographic SRS", 0, "NONE", 0, "undefined", None),
+    (
+        "WGS 84 geodetic",
+        4326,
+        "EPSG",
+        4326,
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+        'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],UNIT["degree",'
+        '0.0174532925199433,AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]',
+        "longitude/latitude coordinates in decimal degrees on the WGS 84 spheroid",
+    ),
+]
+
+
+class GeoPackageWriter:
+    """One .gpkg file, one feature table per layer (the reference's
+    Geopackage: one dataset, a layer per theme, tabular.py:146-175)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self.con = sqlite3.connect(path)
+        cur = self.con.cursor()
+        cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        cur.execute("PRAGMA user_version = 10300")  # GeoPackage 1.3
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, "
+            "definition TEXT NOT NULL, description TEXT)"
+        )
+        cur.executemany(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            _GPKG_SRS_ROWS,
+        )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, "
+            "identifier TEXT UNIQUE, description TEXT DEFAULT '', "
+            "last_change DATETIME NOT NULL DEFAULT "
+            "(strftime('%Y-%m-%dT%H:%M:%fZ','now')), "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+            "srs_id INTEGER)"
+        )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns ("
+            "table_name TEXT PRIMARY KEY, column_name TEXT NOT NULL, "
+            "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+            "z TINYINT NOT NULL, m TINYINT NOT NULL)"
+        )
+        self.con.commit()
+
+    def write_layer(self, name: str, attr_names, rows, with_osm_id=True):
+        """rows: iterable of Row with osm_id?, geom_type, xs/ys/offsets
+        and the attribute columns.  Returns feature count."""
+        cur = self.con.cursor()
+        cur.execute('DROP TABLE IF EXISTS "%s"' % name)
+        cols = ['"fid" INTEGER PRIMARY KEY AUTOINCREMENT', '"geom" GEOMETRY']
+        if with_osm_id:
+            cols.append('"osm_id" MEDIUMINT')
+        cols += ['"%s" TEXT(80)' % a for a in attr_names]
+        cur.execute('CREATE TABLE "%s" (%s)' % (name, ", ".join(cols)))
+
+        n_attr = len(attr_names) + (1 if with_osm_id else 0)
+        ins = 'INSERT INTO "%s" (geom%s%s) VALUES (?%s)' % (
+            name,
+            ", osm_id" if with_osm_id else "",
+            "".join(', "%s"' % a for a in attr_names),
+            ", ?" * n_attr,
+        )
+        count = 0
+        batch = []
+        bbox = [np.inf, np.inf, -np.inf, -np.inf]
+        for row in rows:
+            env = _envelope(row)
+            bbox = [
+                min(bbox[0], env[0]), min(bbox[1], env[1]),
+                max(bbox[2], env[2]), max(bbox[3], env[3]),
+            ]
+            blob = gpkg_geom_blob(wkb_from_packed(row["geom_type"], row), env)
+            vals = [sqlite3.Binary(blob)]
+            if with_osm_id:
+                vals.append(int(row["osm_id"]))
+            vals += [row[a] for a in attr_names]
+            batch.append(vals)
+            count += 1
+            if len(batch) >= 10000:
+                cur.executemany(ins, batch)
+                batch = []
+        if batch:
+            cur.executemany(ins, batch)
+        if count == 0:
+            bbox = [None, None, None, None]
+        cur.execute(
+            "INSERT OR REPLACE INTO gpkg_contents "
+            "(table_name, data_type, identifier, min_x, min_y, max_x, max_y, srs_id) "
+            "VALUES (?, 'features', ?, ?, ?, ?, ?, 4326)",
+            (name, name, *bbox),
+        )
+        cur.execute(
+            "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?, 'geom', 'GEOMETRY', 4326, 0, 0)",
+            (name,),
+        )
+        self.con.commit()
+        return count
+
+    def close(self):
+        self.con.close()
+
+
+# ---------------------------------------------------------------------------
+# Shapefile (.shp/.shx/.dbf/.prj/.cpg)
+# ---------------------------------------------------------------------------
+
+_SHP_TYPE = {"point": 1, "line": 3, "polygon": 5}
+
+_PRJ_WGS84 = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+    '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]]'
+)
+
+
+def _signed_area(r):
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _shp_record_body(geom_type, row):
+    """Record content (little-endian, without the BE record header)."""
+    st = _SHP_TYPE[geom_type]
+    if geom_type == "point":
+        return struct.pack("<idd", st, float(row["xs"][0]), float(row["ys"][0]))
+    rings = _rings(row)
+    if geom_type == "polygon":
+        # shapefile winding: outer rings clockwise, holes counter-
+        # clockwise (no explicit part grouping in the format)
+        po = row["part_offsets"]
+        oriented = []
+        for pi in range(len(po) - 1):
+            for k, r in enumerate(rings[po[pi] : po[pi + 1]]):
+                closed = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[0]])
+                a = _signed_area(closed[:-1])
+                outer = k == 0
+                if (outer and a > 0) or (not outer and a < 0):
+                    closed = closed[::-1]
+                oriented.append(closed)
+        rings = oriented
+    else:
+        rings = [np.asarray(r) for r in rings]
+    allpts = np.vstack(rings)
+    starts, n = [], 0
+    for r in rings:
+        starts.append(n)
+        n += len(r)
+    body = struct.pack(
+        "<idddd",
+        st,
+        float(allpts[:, 0].min()), float(allpts[:, 1].min()),
+        float(allpts[:, 0].max()), float(allpts[:, 1].max()),
+    )
+    body += struct.pack("<ii", len(rings), len(allpts))
+    body += struct.pack("<%di" % len(starts), *starts)
+    body += np.ascontiguousarray(allpts, dtype="<f8").tobytes()
+    return body
+
+
+def write_shapefile(base_path, geom_type, attr_names, rows, with_osm_id=True,
+                    field_names=None):
+    """Writes base_path + .shp/.shx/.dbf/.prj/.cpg (reference writer's
+    5 sidecars, __init__.py:29-35).  `field_names` are the (laundered)
+    DBF column names matching `attr_names` positionally.  Returns
+    feature count."""
+    field_names = field_names or attr_names
+    os.makedirs(os.path.dirname(base_path) or ".", exist_ok=True)
+    st = _SHP_TYPE[geom_type]
+    recs, envs, dbf_rows = [], [], []
+    for row in rows:
+        recs.append(_shp_record_body(geom_type, row))
+        envs.append(_envelope(row))
+        vals = []
+        if with_osm_id:
+            vals.append(("N", str(int(row["osm_id"]))))
+        for a in attr_names:
+            v = row[a]
+            vals.append(("C", "" if v is None else str(v)))
+        dbf_rows.append(vals)
+
+    if envs:
+        e = np.array(envs)
+        bbox = (e[:, 0].min(), e[:, 1].min(), e[:, 2].max(), e[:, 3].max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+
+    def header(file_len_words):
+        return (
+            struct.pack(">i", 9994)
+            + b"\x00" * 20
+            + struct.pack(">i", file_len_words)
+            + struct.pack("<ii", 1000, st)
+            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
+        )
+
+    shp_len = 50 + sum(4 + len(r) // 2 for r in recs)  # in 16-bit words
+    with open(base_path + ".shp", "wb") as f:
+        f.write(header(shp_len))
+        for i, r in enumerate(recs):
+            f.write(struct.pack(">ii", i + 1, len(r) // 2))
+            f.write(r)
+    with open(base_path + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(recs)))
+        off = 50
+        for r in recs:
+            f.write(struct.pack(">ii", off, len(r) // 2))
+            off += 4 + len(r) // 2
+
+    # dBase III: osm_id as N(18), every key as C(80) (reference
+    # tabular.py:153,161-163)
+    fields = []
+    if with_osm_id:
+        fields.append(("osm_id", "N", 18))
+    fields += [(a[:10], "C", 80) for a in field_names]
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(struct.pack("<B3BIHH20x", 0x03, 95, 7, 26, len(dbf_rows), hdr_size, rec_size))
+        for fname, ftype, flen in fields:
+            f.write(
+                fname.encode("ascii", "replace").ljust(11, b"\x00")
+                + ftype.encode()
+                + b"\x00" * 4
+                + struct.pack("<BB", flen, 0)
+                + b"\x00" * 14
+            )
+        f.write(b"\x0d")
+        for vals in dbf_rows:
+            f.write(b" ")
+            for (fname, ftype, flen), (vt, v) in zip(fields, vals):
+                enc = v.encode("utf-8", "replace")[:flen]
+                f.write(enc.rjust(flen) if ftype == "N" else enc.ljust(flen))
+        f.write(b"\x1a")
+    with open(base_path + ".prj", "w") as f:
+        f.write(_PRJ_WGS84)
+    with open(base_path + ".cpg", "w") as f:
+        f.write("UTF-8")
+    return len(recs)
+
+
+# ---------------------------------------------------------------------------
+# KML (XML)
+# ---------------------------------------------------------------------------
+
+def _kml_coords(r):
+    return " ".join("%s,%s" % (repr(float(x)), repr(float(y))) for x, y in r)
+
+
+def _kml_geom(geom_type, row):
+    rings = _rings(row)
+    if geom_type == "point":
+        return "<Point><coordinates>%s,%s</coordinates></Point>" % (
+            repr(float(row["xs"][0])), repr(float(row["ys"][0]))
+        )
+    if geom_type == "line":
+        parts = [
+            "<LineString><coordinates>%s</coordinates></LineString>" % _kml_coords(r)
+            for r in rings
+        ]
+    else:
+        po = row["part_offsets"]
+        parts = []
+        for pi in range(len(po) - 1):
+            part = rings[po[pi] : po[pi + 1]]
+            s = (
+                "<Polygon><outerBoundaryIs><LinearRing><coordinates>%s"
+                "</coordinates></LinearRing></outerBoundaryIs>" % _kml_coords(part[0])
+            )
+            for hole in part[1:]:
+                s += (
+                    "<innerBoundaryIs><LinearRing><coordinates>%s"
+                    "</coordinates></LinearRing></innerBoundaryIs>" % _kml_coords(hole)
+                )
+            parts.append(s + "</Polygon>")
+    if len(parts) == 1:
+        return parts[0]
+    return "<MultiGeometry>%s</MultiGeometry>" % "".join(parts)
+
+
+def write_kml(path, layer_name, attr_names, rows, with_osm_id=True):
+    """One .kml document per (theme, geom_type) dataset (reference Kml
+    writer, tabular.py:32-84).  Returns feature count."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    count = 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder>')
+        f.write("<name>%s</name>" % escape(layer_name))
+        for row in rows:
+            f.write("<Placemark>")
+            data = []
+            if with_osm_id:
+                data.append(("osm_id", str(int(row["osm_id"]))))
+            for a in attr_names:
+                if row[a] is not None:
+                    data.append((a, str(row[a])))
+            if data:
+                f.write("<ExtendedData>")
+                for k, v in data:
+                    f.write(
+                        '<Data name="%s"><value>%s</value></Data>'
+                        % (escape(k, {'"': "&quot;"}), escape(v))
+                    )
+                f.write("</ExtendedData>")
+            f.write(_kml_geom(row["geom_type"], row))
+            f.write("</Placemark>")
+            count += 1
+        f.write("</Folder></Document></kml>\n")
+    return count

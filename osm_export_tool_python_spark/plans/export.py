@@ -90,12 +90,19 @@ def export(
     tile_zooms=None,
     resume: bool = True,
     dropout_metrics: bool = False,
+    binary: bool = True,
 ) -> dict:
     """Run a themed export; returns the manifest payload.
 
     `dropout_metrics=True` additionally records the reference's
     per-entity skip diagnostics (incomplete ways / invalid relations) —
-    an extra pass over the assembly joins."""
+    an extra pass over the assembly joins.
+
+    `binary=True` additionally materializes the REAL single-file
+    artifacts (.gpkg SQLite database / .shp+.shx+.dbf+.prj+.cpg /
+    .kml) from the distributed datasets via a streamed
+    toLocalIterator pass (plans/binary_sinks.py) — the same
+    single-writer final mile the reference's OGR layer performs."""
     manifest = ExportManifest(out_dir)
     if resume:
         manifest.load_done_entries()
@@ -126,7 +133,10 @@ def export(
 
         for fmt in formats:
             if fmt in TABULAR_FORMATS:
-                _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centroid)
+                _write_tabular(
+                    spark, themed, mapping, out_dir, fmt, manifest,
+                    polygon_centroid, binary,
+                )
             elif fmt == "tiles":
                 _write_tiles(spark, themed, out_dir, tile_zooms or (0, 8), manifest)
             else:
@@ -145,7 +155,9 @@ def export(
     return manifest.write()
 
 
-def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centroid):
+def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest,
+                   polygon_centroid, binary=True):
+    gpkg_writer = None
     for theme in mapping.themes:
         base = theme_output(themed, theme, polygon_centroid=polygon_centroid)
         if fmt == "gpkg":
@@ -164,6 +176,20 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
                 format="gpkg", theme=theme.name, path=path,
                 rows=sum(parts.values()), partitions=parts,
             )
+            if binary:
+                from .binary_sinks import GeoPackageWriter
+
+                if gpkg_writer is None:
+                    gpkg_writer = GeoPackageWriter(
+                        os.path.join(out_dir, "gpkg", "export.gpkg")
+                    )
+                gpkg_writer.write_layer(
+                    make_filename(theme.name),
+                    theme.keys,
+                    base.toLocalIterator(),
+                    with_osm_id=theme.osm_id,
+                )
+                info["binary"] = gpkg_writer.path
             manifest.add(**info)
             manifest.mark_done(part_key, **info)
         else:
@@ -187,7 +213,7 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
                 )
                 if manifest.is_done(part_key):
                     continue
-                df = base.where(F.col("geom_type") == gt)
+                df = df_gt = base.where(F.col("geom_type") == gt)
                 if fmt == "shp":
                     rename = {
                         k: launder_name(k)
@@ -209,6 +235,32 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest, polygon_centr
                     format=fmt, theme=theme.name, path=path,
                     rows=sum(parts.values()), partitions=parts, geom_type=gt,
                 )
+                if binary:
+                    bin_base = os.path.join(
+                        out_dir, fmt + "_bin",
+                        "%s_%s" % (make_filename(theme.name), gt),
+                    )
+                    if fmt == "shp":
+                        from .binary_sinks import write_shapefile
+
+                        write_shapefile(
+                            bin_base, gt, theme.keys,
+                            df_gt.toLocalIterator(),
+                            with_osm_id=theme.osm_id,
+                            field_names=[launder_name(k) for k in theme.keys],
+                        )
+                        info["binary"] = bin_base + ".shp"
+                    else:  # kml
+                        from .binary_sinks import write_kml
+
+                        write_kml(
+                            bin_base + ".kml",
+                            "%s %s" % (theme.name, gt),
+                            theme.keys,
+                            df_gt.toLocalIterator(),
+                            with_osm_id=theme.osm_id,
+                        )
+                        info["binary"] = bin_base + ".kml"
                 manifest.add(**info)
                 manifest.mark_done(part_key, **info)
 
