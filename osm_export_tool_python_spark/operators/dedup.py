@@ -451,3 +451,103 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def _large_star(edges):
+    """Large-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): every node u connects each STRICTLY
+    LARGER neighbor to the minimum of its closed neighborhood."""
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+    return (
+        nbrs.where(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges):
+    """Small-star: orient every edge downward (src > dst), then each
+    node connects its smaller neighbors (and itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    out1 = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    out2 = mins.select("src", F.col("m").alias("dst"))
+    return out1.union(out2).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star — the
+    O(log n)-round connected-components algorithm (Kiveris et al.
+    2014).  Same output contract as connected_components (component =
+    min reachable id), but convergence no longer depends on component
+    DIAMETER: a path graph that costs the label-propagation variant
+    O(n) rounds finishes in O(log n) here, which is what survives
+    100 TB near-dup graphs with super-node boilerplate clusters.
+    Every round is two groupBy-min + join passes on the node key —
+    the same shuffle primitive as one propagation round.
+
+    Lineage is truncated with localCheckpoint every `checkpoint_every`
+    rounds; non-convergence raises loudly (never silently-wrong
+    labels)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+
+    try:
+        converged = False
+        for it in range(max_iter):
+            new_edges = _small_star(_large_star(edges))
+            if (it + 1) % checkpoint_every == 0:
+                new_edges = new_edges.localCheckpoint(eager=False)
+            new_edges = new_edges.persist()
+            n_new = new_edges.count()
+            # star-saturation test: stable iff the edge SET is unchanged
+            same = n_new == edges.count() and (
+                new_edges.join(
+                    edges, ["src", "dst"], "left_anti"
+                ).isEmpty()
+            )
+            edges.unpersist()
+            edges = new_edges
+            if same:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                "connected_components_star did not converge in %d rounds — "
+                "raise max_iter (each round halves tree heights, so this "
+                "implies a pathologically large graph)" % max_iter
+            )
+        roots = edges.select(F.col("dst").alias("id")).distinct().select(
+            "id", F.col("id").alias("component")
+        )
+        members = edges.select(
+            F.col("src").alias("id"), F.col("dst").alias("component")
+        )
+        return members.union(roots)
+    finally:
+        edges.unpersist()

