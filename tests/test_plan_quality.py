@@ -131,3 +131,46 @@ def test_rect_aoi_classify_is_fully_jvm_side(spark, tmp_path):
     # concave AOI still routes through the pandas classifier
     tri = AOI([np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])])
     assert tri.as_rect() is None
+
+
+def test_ivf_probe_join_is_broadcast_and_pruned(spark):
+    """The IVF top-k probe join must broadcast the (tiny) query side
+    and join on list_id — never a cross join."""
+    from osm_export_tool_python_spark.plans.driver_queries import q_embed_ivf_topk
+
+    plan = _plan(q_embed_ivf_topk(spark, SF))
+    assert "BroadcastHashJoin [list_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_sketch_is_fully_jvm_side(spark):
+    """The Rademacher sign sketch (8 planes x 64 dims of literal +-1
+    products) must compile to pure Column math — no Python workers in
+    the sketch or the multi-probe bucket join."""
+    from osm_export_tool_python_spark.plans.driver_queries import (
+        q_embed_hyperplane_dups,
+        q_embed_hyperplane_sketch,
+    )
+
+    for q in (q_embed_hyperplane_sketch, q_embed_hyperplane_dups):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_relation_assembly_single_python_stage(spark):
+    """Relation assembly keeps Python confined to the one
+    applyInPandas ring-stitcher; the synthesis, decode, way⋈node join
+    and the shoelace aggregate are all JVM-side (FlatMapGroupsInPandas
+    appears exactly once per plan print — AQE prints the plan twice,
+    so count distinct operator ids, not occurrences)."""
+    from osm_export_tool_python_spark.plans.driver_queries import (
+        q_osm_relation_assembly,
+    )
+
+    df = q_osm_relation_assembly(spark, SF)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    # way⋈node and members⋈coords joins shuffle on their keys, never a
+    # cross product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
