@@ -316,7 +316,14 @@ def embedding_near_dup_pairs_col(
     """embedding_near_dup_pairs with the deterministic pure-Column
     Rademacher sketch — the oracle-checkable / fully-JVM variant."""
     if dim is None:
-        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:  # empty input → empty pair set, correctly typed
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).where(F.lit(False))
+        dim = int(row["d"])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "sk", rademacher_sketch_col("v", dim, n_planes)
     )
@@ -509,6 +516,12 @@ def connected_components_star(
     Lineage is truncated with localCheckpoint every `checkpoint_every`
     rounds; non-convergence raises loudly (never silently-wrong
     labels)."""
+    vertices = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -542,12 +555,17 @@ def connected_components_star(
                 "raise max_iter (each round halves tree heights, so this "
                 "implies a pathologically large graph)" % max_iter
             )
-        roots = edges.select(F.col("dst").alias("id")).distinct().select(
-            "id", F.col("id").alias("component")
-        )
         members = edges.select(
             F.col("src").alias("id"), F.col("dst").alias("component")
         )
-        return members.union(roots)
+        # everything not a non-root member labels itself: component
+        # roots AND nodes that only ever appeared in self-pairs
+        # (src==dst edges are dropped above, but the node still gets a
+        # singleton label — same contract as connected_components)
+        selfs = vertices.join(members, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        return members.union(selfs)
     finally:
         edges.unpersist()
+        vertices.unpersist()

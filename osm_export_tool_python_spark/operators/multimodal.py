@@ -125,11 +125,20 @@ def extract_features(media: DataFrame, batch_note: str = "mean-channel") -> Data
                         [metas[i]["width"] * metas[i]["height"] for i in sub],
                         dtype=np.int64,
                     )
+                    # validate PER ITEM (an aggregate-only check lets a
+                    # short payload + a long payload cancel out and
+                    # silently misalign every segment after them)
+                    got = np.array([len(payloads[i]) for i in sub], dtype=np.int64)
+                    bad = np.nonzero(got != npix * c)[0]
+                    if len(bad):
+                        i = sub[bad[0]]
+                        raise ValueError(
+                            "corrupt image payload (media_id %s): %d != %d"
+                            % (pdf["media_id"].iloc[i], got[bad[0]], npix[bad[0]] * c)
+                        )
                     cat = np.frombuffer(
                         b"".join(payloads[i] for i in sub), dtype=np.uint8
                     )
-                    if len(cat) != int(npix.sum()) * c:
-                        raise ValueError("corrupt image payload in batch")
                     mat = cat.reshape(-1, c).astype(np.int64)
                     ch_means = np.stack(
                         [_segment_sums(mat[:, ch], npix) for ch in range(c)],

@@ -171,7 +171,9 @@ class GeoPackageWriter:
         cur.execute('DROP TABLE IF EXISTS "%s"' % name)
         cols = ['"fid" INTEGER PRIMARY KEY AUTOINCREMENT', '"geom" GEOMETRY']
         if with_osm_id:
-            cols.append('"osm_id" MEDIUMINT')
+            # INTEGER is the 64-bit type in GPKG (OGC 12-128 Table 1);
+            # MEDIUMINT would truncate real OSM ids (> 2^31 since 2021)
+            cols.append('"osm_id" INTEGER')
         cols += ['"%s" TEXT(80)' % a for a in attr_names]
         cur.execute('CREATE TABLE "%s" (%s)' % (name, ", ".join(cols)))
 
@@ -279,54 +281,37 @@ def _shp_record_body(geom_type, row):
     return body
 
 
+def _dbf_cell(v: str, ftype: str, flen: int) -> bytes:
+    """Fixed-width DBF cell; truncation never splits a UTF-8 multibyte
+    sequence (the .cpg sidecar declares UTF-8, so every cell must stay
+    valid UTF-8)."""
+    enc = v.encode("utf-8", "replace")
+    if len(enc) > flen:
+        enc = enc[:flen]
+        while enc:
+            try:
+                enc.decode("utf-8")
+                break
+            except UnicodeDecodeError:
+                enc = enc[:-1]
+    return enc.rjust(flen) if ftype == "N" else enc.ljust(flen)
+
+
 def write_shapefile(base_path, geom_type, attr_names, rows, with_osm_id=True,
                     field_names=None):
     """Writes base_path + .shp/.shx/.dbf/.prj/.cpg (reference writer's
     5 sidecars, __init__.py:29-35).  `field_names` are the (laundered)
     DBF column names matching `attr_names` positionally.  Returns
-    feature count."""
+    feature count.
+
+    STREAMED: one pass over `rows` writes .shp/.shx/.dbf
+    simultaneously; the headers (file lengths, bbox, record count) are
+    back-patched via seek afterwards, so nothing accumulates in driver
+    memory — the same bounded last-mile contract as the GeoPackage
+    writer's batched inserts."""
     field_names = field_names or attr_names
     os.makedirs(os.path.dirname(base_path) or ".", exist_ok=True)
     st = _SHP_TYPE[geom_type]
-    recs, envs, dbf_rows = [], [], []
-    for row in rows:
-        recs.append(_shp_record_body(geom_type, row))
-        envs.append(_envelope(row))
-        vals = []
-        if with_osm_id:
-            vals.append(("N", str(int(row["osm_id"]))))
-        for a in attr_names:
-            v = row[a]
-            vals.append(("C", "" if v is None else str(v)))
-        dbf_rows.append(vals)
-
-    if envs:
-        e = np.array(envs)
-        bbox = (e[:, 0].min(), e[:, 1].min(), e[:, 2].max(), e[:, 3].max())
-    else:
-        bbox = (0.0, 0.0, 0.0, 0.0)
-
-    def header(file_len_words):
-        return (
-            struct.pack(">i", 9994)
-            + b"\x00" * 20
-            + struct.pack(">i", file_len_words)
-            + struct.pack("<ii", 1000, st)
-            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
-        )
-
-    shp_len = 50 + sum(4 + len(r) // 2 for r in recs)  # in 16-bit words
-    with open(base_path + ".shp", "wb") as f:
-        f.write(header(shp_len))
-        for i, r in enumerate(recs):
-            f.write(struct.pack(">ii", i + 1, len(r) // 2))
-            f.write(r)
-    with open(base_path + ".shx", "wb") as f:
-        f.write(header(50 + 4 * len(recs)))
-        off = 50
-        for r in recs:
-            f.write(struct.pack(">ii", off, len(r) // 2))
-            off += 4 + len(r) // 2
 
     # dBase III: osm_id as N(18), every key as C(80) (reference
     # tabular.py:153,161-163)
@@ -336,28 +321,68 @@ def write_shapefile(base_path, geom_type, attr_names, rows, with_osm_id=True,
     fields += [(a[:10], "C", 80) for a in field_names]
     rec_size = 1 + sum(f[2] for f in fields)
     hdr_size = 32 + 32 * len(fields) + 1
-    with open(base_path + ".dbf", "wb") as f:
-        f.write(struct.pack("<B3BIHH20x", 0x03, 95, 7, 26, len(dbf_rows), hdr_size, rec_size))
+
+    def header(file_len_words, bbox):
+        return (
+            struct.pack(">i", 9994)
+            + b"\x00" * 20
+            + struct.pack(">i", file_len_words)
+            + struct.pack("<ii", 1000, st)
+            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
+        )
+
+    def dbf_header(nrec):
+        out = struct.pack("<B3BIHH20x", 0x03, 95, 7, 26, nrec, hdr_size, rec_size)
         for fname, ftype, flen in fields:
-            f.write(
+            out += (
                 fname.encode("ascii", "replace").ljust(11, b"\x00")
                 + ftype.encode()
                 + b"\x00" * 4
                 + struct.pack("<BB", flen, 0)
                 + b"\x00" * 14
             )
-        f.write(b"\x0d")
-        for vals in dbf_rows:
-            f.write(b" ")
-            for (fname, ftype, flen), (vt, v) in zip(fields, vals):
-                enc = v.encode("utf-8", "replace")[:flen]
-                f.write(enc.rjust(flen) if ftype == "N" else enc.ljust(flen))
-        f.write(b"\x1a")
+        return out + b"\x0d"
+
+    n = 0
+    off_words = 50  # running .shp length in 16-bit words
+    bbox = [np.inf, np.inf, -np.inf, -np.inf]
+    with open(base_path + ".shp", "wb") as fshp, \
+            open(base_path + ".shx", "wb") as fshx, \
+            open(base_path + ".dbf", "wb") as fdbf:
+        fshp.write(b"\x00" * 100)  # placeholder headers, patched below
+        fshx.write(b"\x00" * 100)
+        fdbf.write(dbf_header(0))
+        for row in rows:
+            body = _shp_record_body(geom_type, row)
+            env = _envelope(row)
+            bbox = [min(bbox[0], env[0]), min(bbox[1], env[1]),
+                    max(bbox[2], env[2]), max(bbox[3], env[3])]
+            clen = len(body) // 2
+            fshp.write(struct.pack(">ii", n + 1, clen))
+            fshp.write(body)
+            fshx.write(struct.pack(">ii", off_words, clen))
+            off_words += 4 + clen
+            fdbf.write(b" ")
+            if with_osm_id:
+                fdbf.write(_dbf_cell(str(int(row["osm_id"])), "N", 18))
+            for a in attr_names:
+                v = row[a]
+                fdbf.write(_dbf_cell("" if v is None else str(v), "C", 80))
+            n += 1
+        fdbf.write(b"\x1a")
+        if n == 0:
+            bbox = [0.0, 0.0, 0.0, 0.0]
+        fshp.seek(0)
+        fshp.write(header(off_words, bbox))
+        fshx.seek(0)
+        fshx.write(header(50 + 4 * n, bbox))
+        fdbf.seek(0)
+        fdbf.write(dbf_header(n))
     with open(base_path + ".prj", "w") as f:
         f.write(_PRJ_WGS84)
     with open(base_path + ".cpg", "w") as f:
         f.write("UTF-8")
-    return len(recs)
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -428,4 +453,71 @@ def write_kml(path, layer_name, attr_names, rows, with_osm_id=True):
             f.write("</Placemark>")
             count += 1
         f.write("</Folder></Document></kml>\n")
+    return count
+
+
+# ---------------------------------------------------------------------------
+# MBTiles (sqlite3)
+# ---------------------------------------------------------------------------
+
+def write_mbtiles(path, tiles, bounds, minzoom, maxzoom, name="export"):
+    """Real .mbtiles container (MBTiles 1.3: `metadata` + `tiles`
+    tables, TMS row order).  `tiles` is an iterable of rows with
+    z/x/y/n_features/osm_ids; tile_data is the packed per-tile payload
+    as compact JSON bytes.
+
+    Format note: the reference's mbtiles path fetches RASTER tiles
+    from a remote tile server (nontabular.py:103-108, landez) — pure
+    network orchestration with no local computation.  This engine's
+    tile payload is the computed per-tile feature aggregate instead,
+    declared as format=json in metadata (a documented deviation from
+    the raster formats the 1.3 spec enumerates; the container layout
+    is fully spec-conformant and readable by any mbtiles tool)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    cur.execute(
+        "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, "
+        "tile_row INTEGER, tile_data BLOB)"
+    )
+    cur.execute(
+        "CREATE UNIQUE INDEX tile_index ON tiles "
+        "(zoom_level, tile_column, tile_row)"
+    )
+    import json as _json
+
+    w, s, e, n = bounds
+    meta = [
+        ("name", name),
+        ("type", "overlay"),
+        ("version", "1"),
+        ("description", "per-tile feature aggregates (n_features, osm_ids)"),
+        ("format", "json"),
+        ("bounds", "%s,%s,%s,%s" % (w, s, e, n)),
+        ("minzoom", str(minzoom)),
+        ("maxzoom", str(maxzoom)),
+    ]
+    cur.executemany("INSERT INTO metadata VALUES (?, ?)", meta)
+
+    count = 0
+    batch = []
+    for row in tiles:
+        z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+        payload = _json.dumps(
+            {"n": int(row["n_features"]), "osm_ids": list(row["osm_ids"])},
+            separators=(",", ":"),
+        ).encode()
+        # MBTiles uses TMS row order: south-origin flip of the XYZ y
+        batch.append((z, x, (1 << z) - 1 - y, sqlite3.Binary(payload)))
+        count += 1
+        if len(batch) >= 10000:
+            cur.executemany("INSERT INTO tiles VALUES (?,?,?,?)", batch)
+            batch = []
+    if batch:
+        cur.executemany("INSERT INTO tiles VALUES (?,?,?,?)", batch)
+    con.commit()
+    con.close()
     return count

@@ -138,7 +138,7 @@ def export(
                     polygon_centroid, binary,
                 )
             elif fmt == "tiles":
-                _write_tiles(spark, themed, out_dir, tile_zooms or (0, 8), manifest)
+                _write_tiles(spark, themed, out_dir, tile_zooms or (0, 8), manifest, binary)
             else:
                 raise ValueError("unknown format %r" % fmt)
 
@@ -157,7 +157,23 @@ def export(
 
 def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest,
                    polygon_centroid, binary=True):
-    gpkg_writer = None
+    """Wrapper owning the (single) GeoPackage connection: the sqlite
+    handle must close on success AND on mid-stream failure, or a
+    resume run would open a second connection beside an abandoned
+    transaction/-journal."""
+    state = {"gpkg_writer": None}
+    try:
+        _write_tabular_impl(
+            spark, themed, mapping, out_dir, fmt, manifest,
+            polygon_centroid, binary, state,
+        )
+    finally:
+        if state["gpkg_writer"] is not None:
+            state["gpkg_writer"].close()
+
+
+def _write_tabular_impl(spark, themed, mapping, out_dir, fmt, manifest,
+                        polygon_centroid, binary, state):
     for theme in mapping.themes:
         base = theme_output(themed, theme, polygon_centroid=polygon_centroid)
         if fmt == "gpkg":
@@ -179,17 +195,17 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest,
             if binary:
                 from .binary_sinks import GeoPackageWriter
 
-                if gpkg_writer is None:
-                    gpkg_writer = GeoPackageWriter(
+                if state["gpkg_writer"] is None:
+                    state["gpkg_writer"] = GeoPackageWriter(
                         os.path.join(out_dir, "gpkg", "export.gpkg")
                     )
-                gpkg_writer.write_layer(
+                state["gpkg_writer"].write_layer(
                     make_filename(theme.name),
                     theme.keys,
                     base.toLocalIterator(),
                     with_osm_id=theme.osm_id,
                 )
-                info["binary"] = gpkg_writer.path
+                info["binary"] = state["gpkg_writer"].path
             manifest.add(**info)
             manifest.mark_done(part_key, **info)
         else:
@@ -265,7 +281,7 @@ def _write_tabular(spark, themed, mapping, out_dir, fmt, manifest,
                 manifest.mark_done(part_key, **info)
 
 
-def _write_tiles(spark, themed, out_dir, zooms, manifest):
+def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True):
     part_key = "tiles/z%d-%d" % zooms
     path = os.path.join(out_dir, "tiles")
     if manifest.is_done(part_key):
@@ -284,5 +300,31 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest):
         format="tiles", theme="*", path=path,
         rows=sum(parts.values()), partitions=parts, zooms=list(zooms),
     )
+    if binary:
+        import math
+
+        from .binary_sinks import write_mbtiles
+
+        tiles_df = spark.read.parquet(path)
+        ext = tiles_df.where(F.col("z") == zooms[1]).agg(
+            F.min("x"), F.min("y"), F.max("x"), F.max("y")
+        ).first()
+        if ext[0] is not None:
+            n = 1 << zooms[1]
+
+            def lat(y):
+                return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+
+            bounds = (
+                ext[0] / n * 360.0 - 180.0, lat(ext[3] + 1),
+                (ext[2] + 1) / n * 360.0 - 180.0, lat(ext[1]),
+            )
+        else:
+            bounds = (-180.0, -85.051129, 180.0, 85.051129)
+        mb_path = os.path.join(out_dir, "tiles.mbtiles")
+        write_mbtiles(
+            mb_path, tiles_df.toLocalIterator(), bounds, zooms[0], zooms[1]
+        )
+        info["binary"] = mb_path
     manifest.add(**info)
     manifest.mark_done(part_key, **info)

@@ -44,20 +44,37 @@ def boundary_geojson(rings):
     return {"type": "Polygon", "coordinates": coords}
 
 
+def _binary_parts(bin_path):
+    """Files making up one binary artifact: a shapefile is its 5
+    sidecars, everything else (gpkg/kml/mbtiles) a single file."""
+    if bin_path.endswith(".shp"):
+        base = bin_path[:-4]
+        return [base + ext for ext in (".shp", ".shx", ".dbf", ".prj", ".cpg")]
+    return [bin_path]
+
+
 def create_package(destination, entries, boundary_rings=None):
     """Zip of every exported dataset plus clipping_boundary.geojson
     (reference create_package, package.py:10-18).  `entries` is the
-    manifest payload's entry list."""
+    manifest payload's entry list.  Binary artifacts (the real
+    .gpkg/.shp/.kml/.mbtiles files) ship under binary/ — the gpkg is
+    shared across theme entries, so artifacts dedupe by path."""
     with zipfile.ZipFile(destination, "w", zipfile.ZIP_DEFLATED, True) as z:
         if boundary_rings is not None:
             z.writestr(
                 "clipping_boundary.geojson",
                 json.dumps(boundary_geojson(boundary_rings)),
             )
+        seen_binaries = set()
         for e in entries:
             arc_dir = "%s_%s" % (e["format"], basename(e["path"].rstrip("/")))
             for part in _dataset_parts(e["path"]):
                 z.write(part, os.path.join(arc_dir, basename(part)))
+            bin_path = e.get("binary")
+            if bin_path and bin_path not in seen_binaries and os.path.exists(bin_path):
+                seen_binaries.add(bin_path)
+                for part in _binary_parts(bin_path):
+                    z.write(part, os.path.join("binary", basename(part)))
     return destination
 
 

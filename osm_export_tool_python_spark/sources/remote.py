@@ -94,6 +94,7 @@ class GalaxyClient:
         access_token=None,
         max_retries=5,
         retry_delay=60,
+        max_polls=1800,
         sleep=time.sleep,
     ):
         self.hostname = hostname if hostname.endswith("/") else hostname + "/"
@@ -101,6 +102,7 @@ class GalaxyClient:
         self.access_token = access_token
         self.max_retries = max_retries
         self.retry_delay = retry_delay
+        self.max_polls = max_polls  # × 2 s sleep ⇒ default 1 h ceiling
         self.sleep = sleep
 
     def _headers(self):
@@ -142,7 +144,7 @@ class GalaxyClient:
 
         res = json.loads(body_bytes)
         track_url = "%sv1%s" % (self.hostname, res["track_link"])
-        while True:
+        for _ in range(self.max_polls):
             status, body_bytes = self.transport("GET", track_url)
             if status != 200:
                 raise GalaxyTaskFailure("HTTP %d from track API" % status)
@@ -152,3 +154,9 @@ class GalaxyClient:
             if res.get("status") == "SUCCESS":
                 return res["result"]
             self.sleep(2)
+        # a stuck PENDING task (or an API that grew a new status value)
+        # must hang the driver loudly, not forever
+        raise GalaxyTaskFailure(
+            "task not finished after %d polls (last status %r)"
+            % (self.max_polls, res.get("status"))
+        )

@@ -266,3 +266,83 @@ def test_export_materializes_real_binaries(spark, tmp_path_factory):
         if e["format"] == "kml"
     }
     assert n_pm == kml_rows[("pois", "point")] > 0
+
+
+def test_dbf_cell_utf8_boundary():
+    # a value whose UTF-8 encoding exceeds 80 bytes mid-character must
+    # truncate on a character boundary (cpg declares UTF-8)
+    v = "x" + "é" * 41  # 83 bytes encoded; byte 80 falls MID-character
+    cell = bs._dbf_cell(v, "C", 80)
+    assert len(cell) == 80
+    assert cell.rstrip().decode("utf-8") == "x" + "é" * 39  # 79 bytes + pad
+    assert bs._dbf_cell("-42", "N", 18) == b"-42".rjust(18)
+
+
+def test_shapefile_empty_layer(tmp_path):
+    base = str(tmp_path / "empty")
+    n = bs.write_shapefile(base, "point", ["name"], [], field_names=["name"])
+    assert n == 0
+    shp = open(base + ".shp", "rb").read()
+    assert len(shp) == 100 and struct.unpack(">i", shp[24:28])[0] == 50
+    dbf = open(base + ".dbf", "rb").read()
+    assert struct.unpack("<I", dbf[4:8])[0] == 0
+
+
+def test_mbtiles_writer_unit(tmp_path):
+    path = str(tmp_path / "t.mbtiles")
+    tiles = [
+        {"z": 2, "x": 1, "y": 1, "n_features": 5, "osm_ids": [7, 9]},
+        {"z": 3, "x": 4, "y": 2, "n_features": 1, "osm_ids": [7]},
+    ]
+    n = bs.write_mbtiles(path, tiles, (-10.0, -5.0, 10.0, 5.0), 2, 3)
+    assert n == 2
+    import json as j
+
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "json" and meta["minzoom"] == "2" and meta["maxzoom"] == "3"
+    assert meta["bounds"] == "-10.0,-5.0,10.0,5.0"
+    rows = con.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles ORDER BY zoom_level"
+    ).fetchall()
+    # TMS flip: y=1@z2 -> row 2; y=2@z3 -> row 5
+    assert (rows[0][0], rows[0][1], rows[0][2]) == (2, 1, 2)
+    assert (rows[1][0], rows[1][1], rows[1][2]) == (3, 4, 5)
+    assert j.loads(rows[0][3]) == {"n": 5, "osm_ids": [7, 9]}
+    con.close()
+
+
+def test_export_tiles_mbtiles_and_package(spark, tmp_path_factory):
+    """export(formats=('tiles','gpkg')) produces a real .mbtiles whose
+    tile set equals the parquet tile table (modulo the TMS row flip),
+    and create_package ships the binary artifacts under binary/."""
+    import zipfile
+
+    from osm_export_tool_python_spark.plans.package import create_package
+
+    docs = synth.synthesize(spark, n_nodes=800, n_ways=200, n_rels=10)
+    mapping = Mapping(MAPPING_YAML)
+    out = str(tmp_path_factory.mktemp("mbt"))
+    payload = export(spark, docs, mapping, out, formats=("gpkg", "tiles"),
+                     tile_zooms=(2, 6))
+
+    mb = os.path.join(out, "tiles.mbtiles")
+    con = sqlite3.connect(mb)
+    n_mb = con.execute("SELECT COUNT(*) FROM tiles").fetchone()[0]
+    tiles_entry = [e for e in payload["entries"] if e["format"] == "tiles"][0]
+    assert n_mb == tiles_entry["rows"] > 0
+    assert tiles_entry["binary"] == mb
+    pq = spark.read.parquet(tiles_entry["path"]).collect()
+    src = {(r["z"], r["x"], (1 << r["z"]) - 1 - r["y"]) for r in pq}
+    got = {
+        tuple(r)
+        for r in con.execute("SELECT zoom_level, tile_column, tile_row FROM tiles")
+    }
+    assert src == got
+    con.close()
+
+    zpath = os.path.join(out, "pkg.zip")
+    create_package(zpath, payload["entries"])
+    names = zipfile.ZipFile(zpath).namelist()
+    assert "binary/tiles.mbtiles" in names
+    assert "binary/export.gpkg" in names

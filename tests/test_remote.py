@@ -125,3 +125,15 @@ def test_galaxy_task_failure():
     )
     with pytest.raises(GalaxyTaskFailure, match="Task failed from raw data api"):
         GalaxyClient("https://x", transport=t, sleep=lambda s: None).snapshot({})
+
+
+def test_galaxy_poll_budget_exhausted():
+    """A task stuck in PENDING must fail loudly after max_polls, not
+    hang the driver forever."""
+    t = ScriptedTransport(
+        [_snapshot_ok()] + [(200, json.dumps({"status": "PENDING"}).encode())] * 4
+    )
+    with pytest.raises(GalaxyTaskFailure, match="not finished after 4 polls"):
+        GalaxyClient(
+            "https://x", transport=t, max_polls=4, sleep=lambda s: None
+        ).snapshot({})

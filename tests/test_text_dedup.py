@@ -294,3 +294,24 @@ def test_connected_components_star_beats_diameter(spark):
         for r in connected_components_star(chain, max_iter=8).collect()
     }
     assert got == {i: 100 for i in range(100, 124)}
+
+
+def test_connected_components_star_self_pairs_and_empty(spark):
+    """A node appearing only in self-pairs still gets its singleton
+    label (contract parity with connected_components), and an empty
+    vector table yields an empty — not crashing — pair set."""
+    from osm_export_tool_python_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        embedding_near_dup_pairs_col,
+    )
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    a = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_star(pairs).collect()}
+    assert b == {(5, 5), (1, 1), (2, 1)}
+    assert a == b
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs_col(empty)
+    assert out.columns == ["id_a", "id_b", "cosine"] and out.count() == 0
