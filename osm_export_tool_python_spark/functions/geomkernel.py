@@ -407,6 +407,12 @@ def trapezoid_decompose(rings):
         t2 = (x2 - ea[:, 0]) / (eb[:, 0] - ea[:, 0])
         y1 = ea[:, 1] + t1 * (eb[:, 1] - ea[:, 1])
         y2 = ea[:, 1] + t2 * (eb[:, 1] - ea[:, 1])
+        # edges whose endpoint lies ON a slab boundary take the vertex
+        # value EXACTLY (a + 1.0*(b-a) can differ from b by 1 ulp,
+        # which leaves near-duplicate corners that survive the
+        # dedup below and produce hairline non-convex quads)
+        y1 = np.where(ea[:, 0] == x1, ea[:, 1], y1)
+        y2 = np.where(eb[:, 0] == x2, eb[:, 1], y2)
         order = np.lexsort((y2, y1))
         y1, y2 = y1[order], y2[order]
         for k in range(0, len(y1), 2):

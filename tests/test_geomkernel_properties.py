@@ -6,6 +6,7 @@ tests/test_geomkernel.py."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -180,3 +181,53 @@ def test_ring_is_simple_basic_cases():
     assert not gk.ring_is_simple(square[:2])  # too few vertices
     repeated = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [4.0, 0.0]])
     assert not gk.ring_is_simple(repeated)
+
+
+def _mc_region_match(rings, pieces, n=4000, seed=0):
+    """Monte-Carlo check: union-of-pieces membership == even-odd
+    membership for random points (strict interiors dominate; boundary
+    hits are measure-zero for random draws)."""
+    allpts = np.vstack([np.asarray(r) for r in rings])
+    lo, hi = allpts.min(axis=0) - 0.5, allpts.max(axis=0) + 0.5
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(lo, hi, size=(n, 2))
+    eo = gk.points_in_rings(pts, rings)
+    in_pieces = np.zeros(n, dtype=bool)
+    for p in pieces:
+        in_pieces |= gk.points_in_rings(pts, [p])
+    return (eo == in_pieces).mean()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_trapezoid_decompose_matches_even_odd(data):
+    """Random donut (star outer + rectangular hole) and archipelago
+    configurations: the trapezoid pieces must cover EXACTLY the
+    even-odd region (area identity + Monte-Carlo membership) and every
+    piece must be convex."""
+    # simple star-shaped outer ring (gap-constrained — see above)
+    n = data.draw(st.integers(min_value=4, max_value=10))
+    gaps = np.array([data.draw(st.floats(0.5, 1.0)) for _ in range(n)])
+    angles = np.concatenate([[0.0], np.cumsum(gaps)[:-1]]) * (2 * np.pi / gaps.sum())
+    radii = np.array([data.draw(st.floats(5.0, 20.0)) for _ in range(n)])
+    outer = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
+    # a small rectangular hole near the origin is inside any such star
+    # (min radius 5 ⇒ the kernel contains the disk r<2.5 around 0)
+    hw = data.draw(st.floats(0.3, 1.5))
+    hh = data.draw(st.floats(0.3, 1.5))
+    hole = np.array([[-hw, -hh], [hw, -hh], [hw, hh], [-hw, hh]])
+    # optionally a disjoint island far to the east
+    rings = [outer, hole]
+    if data.draw(st.booleans()):
+        ix = data.draw(st.floats(30.0, 40.0))
+        rings.append(np.array([[ix, 0.0], [ix + 2, 0.0], [ix + 2, 2.0], [ix, 2.0]]))
+
+    pieces = gk.trapezoid_decompose(rings)
+    assert pieces, "valid multi-ring AOI must decompose"
+    assert all(gk.is_convex(p) for p in pieces)
+    want = sum(abs(gk.signed_area(np.asarray(r))) for r in [outer]) - 4 * hw * hh
+    if len(rings) == 3:
+        want += 4.0
+    got = sum(abs(gk.signed_area(p)) for p in pieces)
+    assert got == pytest.approx(want, rel=1e-9)
+    assert _mc_region_match(rings, pieces) == 1.0
