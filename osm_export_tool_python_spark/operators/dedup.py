@@ -528,7 +528,7 @@ def connected_components_star(
         .distinct()
         .persist()
     )
-    edges.count()
+    n_prev = edges.count()
 
     try:
         converged = False
@@ -539,11 +539,12 @@ def connected_components_star(
             new_edges = new_edges.persist()
             n_new = new_edges.count()
             # star-saturation test: stable iff the edge SET is unchanged
-            same = n_new == edges.count() and (
+            same = n_new == n_prev and (
                 new_edges.join(
                     edges, ["src", "dst"], "left_anti"
                 ).isEmpty()
             )
+            n_prev = n_new
             edges.unpersist()
             edges = new_edges
             if same:

@@ -29,12 +29,15 @@ string column of width 80 (tabular.py:161-163), osm_id is 64-bit
 
 from __future__ import annotations
 
+import json
 import os
 import sqlite3
 import struct
 from xml.sax.saxutils import escape
 
 import numpy as np
+
+from ..functions.geomkernel import signed_area
 
 # ---------------------------------------------------------------------------
 # WKB encoding from the packed-coords feature schema
@@ -237,11 +240,6 @@ _PRJ_WGS84 = (
 )
 
 
-def _signed_area(r):
-    x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
-
-
 def _shp_record_body(geom_type, row):
     """Record content (little-endian, without the BE record header)."""
     st = _SHP_TYPE[geom_type]
@@ -256,7 +254,7 @@ def _shp_record_body(geom_type, row):
         for pi in range(len(po) - 1):
             for k, r in enumerate(rings[po[pi] : po[pi + 1]]):
                 closed = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[0]])
-                a = _signed_area(closed[:-1])
+                a = signed_area(closed[:-1])
                 outer = k == 0
                 if (outer and a > 0) or (not outer and a < 0):
                     closed = closed[::-1]
@@ -487,8 +485,6 @@ def write_mbtiles(path, tiles, bounds, minzoom, maxzoom, name="export"):
         "CREATE UNIQUE INDEX tile_index ON tiles "
         "(zoom_level, tile_column, tile_row)"
     )
-    import json as _json
-
     w, s, e, n = bounds
     meta = [
         ("name", name),
@@ -506,7 +502,7 @@ def write_mbtiles(path, tiles, bounds, minzoom, maxzoom, name="export"):
     batch = []
     for row in tiles:
         z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-        payload = _json.dumps(
+        payload = json.dumps(
             {"n": int(row["n_features"]), "osm_ids": list(row["osm_ids"])},
             separators=(",", ":"),
         ).encode()

@@ -1254,7 +1254,7 @@ def q_osm_relation_assembly(spark, sf_dir):
     )
 
     def mstruct(role, wid):
-        return F.struct(F.lit(role).alias("role") if isinstance(role, str) else role.alias("role"), wid.cast("long").alias("wid"))
+        return F.struct(F.lit(role).alias("role"), wid.cast("long").alias("wid"))
 
     members = F.concat(
         F.transform(F.sequence(F.lit(1), n), lambda i: mstruct("", k * 1000 + i)),

@@ -57,8 +57,6 @@ def partition_lineage(spark, path: str) -> dict:
             out[name] = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
         return out
 
-    from pyspark.sql import functions as F
-
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
