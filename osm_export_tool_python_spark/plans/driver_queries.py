@@ -144,6 +144,93 @@ SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp HAVING COUNT(*) > 1
 """
 
 
+_SQL_PACK_TOKENS_CTE = """d AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+    CASE WHEN trim(lower(text)) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens
+  FROM documents
+)"""
+
+
+def q_doc_seq_pack(spark, sf_dir):
+    """Sequence packing (training-batch assembly), STREAMING variant:
+    docs laid end-to-end per shard, the budget grid cut across the
+    stream — pure Column window math, one shuffle, every bin
+    assignment hash-checked (operators/pack.py:seq_pack)."""
+    from ..operators.pack import seq_pack
+
+    return seq_pack(_t(spark, sf_dir, "documents"), budget=256, n_shards=4)
+
+
+SQL_DOC_SEQ_PACK = (
+    "WITH " + _SQL_PACK_TOKENS_CTE + """
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS bin
+FROM d"""
+)
+
+
+def q_doc_seq_pack_greedy(spark, sf_dir):
+    """STRICT-budget greedy packing: running total resets at the
+    budget (over-budget docs sit alone).  Inherently sequential per
+    shard — one applyInPandas scan each — oracled against DuckDB's
+    WITH RECURSIVE replay of the same recurrence
+    (operators/pack.py:seq_pack_greedy)."""
+    from ..operators.pack import seq_pack_greedy
+
+    return seq_pack_greedy(_t(spark, sf_dir, "documents"), budget=256, n_shards=4)
+
+
+SQL_DOC_SEQ_PACK_GREEDY = (
+    "WITH RECURSIVE " + _SQL_PACK_TOKENS_CTE + """,
+t AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d
+), p AS (
+  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
+         n_tokens AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+    CASE WHEN p.acc + t.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+    CASE WHEN p.acc + t.n_tokens > 256 THEN t.n_tokens
+         ELSE p.acc + t.n_tokens END
+  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin AS BIGINT) AS bin
+FROM p"""
+)
+
+
+def q_doc_pack_stats(spark, sf_dir):
+    """Per-bin fill report over the streaming packing — the
+    packing-efficiency metric a production pipeline logs."""
+    from ..operators.pack import pack_stats, seq_pack
+
+    return pack_stats(
+        seq_pack(_t(spark, sf_dir, "documents"), budget=256, n_shards=4),
+        budget=256,
+    )
+
+
+SQL_DOC_PACK_STATS = (
+    "WITH " + _SQL_PACK_TOKENS_CTE + """,
+packed AS (
+  SELECT shard,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS bin,
+    n_tokens
+  FROM d
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_tokens) / 256.0, 6) AS fill_ratio
+FROM packed GROUP BY shard, bin"""
+)
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
@@ -1754,6 +1841,9 @@ QUERIES = {
     "doc_langid": (q_doc_langid, SQL_DOC_LANGID),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, SQL_DOC_FINGERPRINT_DUPS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_seq_pack": (q_doc_seq_pack, SQL_DOC_SEQ_PACK),
+    "doc_seq_pack_greedy": (q_doc_seq_pack_greedy, SQL_DOC_SEQ_PACK_GREEDY),
+    "doc_pack_stats": (q_doc_pack_stats, SQL_DOC_PACK_STATS),
     "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),

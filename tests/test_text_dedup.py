@@ -315,3 +315,52 @@ def test_connected_components_star_self_pairs_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = embedding_near_dup_pairs_col(empty)
     assert out.columns == ["id_a", "id_b", "cosine"] and out.count() == 0
+
+
+def test_seq_pack_variants(spark):
+    """Sequence packing: the streaming variant never splits a doc and
+    overflows a bin by at most one doc; the greedy variant NEVER
+    exceeds the budget (except a single over-budget doc alone); both
+    are deterministic and cover every doc exactly once."""
+    from osm_export_tool_python_spark.operators.pack import (
+        pack_stats,
+        seq_pack,
+        seq_pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(
+            [40, 90, 30, 80, 120, 10, 10, 10, 200, 55, 70, 65]
+        )],
+        "doc_id long, text string",
+    )
+    budget = 128
+
+    for fn in (seq_pack, seq_pack_greedy):
+        rows = fn(docs, budget=budget, n_shards=2).collect()
+        assert len(rows) == 12 and len({r["doc_id"] for r in rows}) == 12
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault((r["shard"], r["bin"]), []).append(r["n_tokens"])
+        for (sh, b), toks in by_bin.items():
+            if fn is seq_pack_greedy:
+                # strict: over budget only when one doc alone exceeds it
+                assert sum(toks) <= budget or len(toks) == 1, (sh, b, toks)
+        if fn is seq_pack_greedy:
+            # greedy bins are contiguous from 0 per shard (streaming
+            # bins may legitimately skip numbers when one doc spans
+            # multiple budget units of the stream)
+            for sh in (0, 1):
+                bins = sorted({b for (s, b) in by_bin if s == sh})
+                assert bins == list(range(len(bins)))
+
+    stats = pack_stats(seq_pack(docs, budget=budget, n_shards=2), budget).collect()
+    assert sum(r["n_docs"] for r in stats) == 12
+    assert all(abs(r["fill_ratio"] - r["total_tokens"] / budget) < 1e-9 for r in stats)
+
+    # plan quality: streaming variant is pure Column; greedy confines
+    # Python to the single per-shard applyInPandas
+    p1 = seq_pack(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1
+    p2 = seq_pack_greedy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in p2 and "BatchEvalPython" not in p2
