@@ -125,3 +125,23 @@ def fingerprint(text="text") -> Column:
     set (whitespace/order/case/dup-insensitive).  md5 is identical in
     Spark and DuckDB, so the oracle can reproduce it exactly."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def repetition_ratio(text="text", n: int = 3) -> Column:
+    """Fraction of all token n-grams taken by the single most frequent
+    one — the Gopher-style repetition quality signal (high values flag
+    boilerplate/spam).  Pure Column: aggregate over the shingle array
+    with a running count map; docs shorter than n tokens have exactly
+    one whole-doc shingle ⇒ ratio 1.0."""
+    sh = shingles(text, n)
+    counts = F.aggregate(
+        sh,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, s: F.map_zip_with(
+            acc,
+            F.create_map(s, F.lit(1)),
+            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        ),
+    )
+    mx = F.array_max(F.map_values(counts))
+    return F.round(mx / F.size(sh), 6)

@@ -570,3 +570,36 @@ def connected_components_star(
     finally:
         edges.unpersist()
         vertices.unpersist()
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: (train doc_id, n_hits) for every
+    training document sharing ≥ min_hits distinct token n-grams with
+    ANY benchmark document — the standard eval-leakage guard in
+    training-data pipelines.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are MBs) and is BROADCAST, so the training
+    side is one narrow explode + broadcast semi-join + map-side-combine
+    count per doc — no shuffle of corpus data on the shingle key."""
+    t = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    )
+    b = bench.select(
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
+    ).distinct()
+    return (
+        t.join(F.broadcast(b), "s")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+        .select(F.col("id").alias(id_col), "n_hits")
+    )

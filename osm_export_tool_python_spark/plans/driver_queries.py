@@ -144,6 +144,67 @@ SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp HAVING COUNT(*) > 1
 """
 
 
+_SQL_SHINGLE_CTE = """toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+)"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: share of all token trigrams
+    taken by the single most frequent one (functions/text.py:
+    repetition_ratio, pure Column map-aggregate)."""
+    from ..functions.text import repetition_ratio
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", repetition_ratio("text", 3).alias("rep_ratio")
+    )
+
+
+SQL_DOC_REPETITION = (
+    "WITH " + _SQL_SHINGLE_CTE + """,
+x AS (SELECT doc_id, unnest(s) AS g, len(s) AS total FROM sh),
+c AS (SELECT doc_id, g, ANY_VALUE(total) AS total, COUNT(*) AS cnt
+      FROM x GROUP BY doc_id, g)
+SELECT doc_id, round(CAST(MAX(cnt) AS DOUBLE) / ANY_VALUE(total), 6) AS rep_ratio
+FROM c GROUP BY doc_id"""
+)
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark DECONTAMINATION driven through the gate: docs with
+    doc_id < 20 play the benchmark suite, the rest the training
+    corpus; any training doc sharing a distinct trigram with the
+    benchmark is flagged with its hit count
+    (operators/dedup.py:contamination_check — broadcast bench
+    shingles, no corpus shuffle on the shingle key)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    train = docs.where(F.col("doc_id") >= 20)
+    return D.contamination_check(train, bench, shingle_n=3, min_hits=1)
+
+
+SQL_DOC_CONTAMINATION = (
+    "WITH " + _SQL_SHINGLE_CTE + """,
+b AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20
+), tr AS (
+  SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh WHERE doc_id >= 20
+)
+SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tr JOIN b USING (g)
+GROUP BY tr.doc_id"""
+)
+
+
 _SQL_PACK_TOKENS_CTE = """d AS (
   SELECT doc_id, doc_id % 4 AS shard,
     CASE WHEN trim(lower(text)) = '' THEN 0
@@ -1841,6 +1902,8 @@ QUERIES = {
     "doc_langid": (q_doc_langid, SQL_DOC_LANGID),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, SQL_DOC_FINGERPRINT_DUPS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "doc_seq_pack": (q_doc_seq_pack, SQL_DOC_SEQ_PACK),
     "doc_seq_pack_greedy": (q_doc_seq_pack_greedy, SQL_DOC_SEQ_PACK_GREEDY),
     "doc_pack_stats": (q_doc_pack_stats, SQL_DOC_PACK_STATS),

@@ -364,3 +364,38 @@ def test_seq_pack_variants(spark):
     assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1
     p2 = seq_pack_greedy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in p2 and "BatchEvalPython" not in p2
+
+
+def test_repetition_ratio_and_contamination(spark):
+    from osm_export_tool_python_spark.functions.text import repetition_ratio
+    from osm_export_tool_python_spark.operators.dedup import contamination_check
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),    # one trigram dominates
+            (2, "one two three four five six seven"),
+            (3, "xx yy"),                            # short → single shingle
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["r"] for x in df.select("doc_id", repetition_ratio().alias("r")).collect()}
+    assert r[1] == 1.0 and r[3] == 1.0
+    assert r[2] == pytest.approx(1.0 / 5.0)
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday evening"),  # 2 shared trigrams
+            (2, "completely unrelated training text right here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_check(train, bench)
+    got = {x["doc_id"]: x["n_hits"] for x in out.collect()}
+    assert got == {1: 2}  # 'the quick brown' + 'quick brown fox'
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # bench shingles are broadcast; no corpus shuffle on the shingle key
+    assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
