@@ -536,7 +536,12 @@ def clip_polyline_convex(coords, clip_poly):
                     ok = False
                     break
             else:
-                t = num / den
+                # near-parallel edges can make num/den overflow to inf;
+                # the t0/t1 interval logic handles inf correctly (the
+                # segment is rejected via t0 > t1), so silence the
+                # benign RuntimeWarning rather than branch on magnitude
+                with np.errstate(over="ignore"):
+                    t = num / den
                 if den > 0.0:
                     t0 = max(t0, t)
                 else:
