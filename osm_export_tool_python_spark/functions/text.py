@@ -134,14 +134,15 @@ def repetition_ratio(text="text", n: int = 3) -> Column:
     with a running count map; docs shorter than n tokens have exactly
     one whole-doc shingle ⇒ ratio 1.0."""
     sh = shingles(text, n)
-    counts = F.aggregate(
-        sh,
-        F.create_map().cast("map<string,int>"),
-        lambda acc, s: F.map_zip_with(
-            acc,
-            F.create_map(s, F.lit(1)),
-            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
-        ),
+    # max count via distinct-outer / filter-inner: O(distinct × k)
+    # cheap codegen'd comparisons with NO allocation per step (the
+    # map-accumulator fold form rebuilt the whole count map once per
+    # shingle — quadratic allocation on exactly the boilerplate docs
+    # this signal exists to flag)
+    mx = F.array_max(
+        F.transform(
+            F.array_distinct(sh),
+            lambda g: F.size(F.filter(sh, lambda x: x == g)),
+        )
     )
-    mx = F.array_max(F.map_values(counts))
     return F.round(mx / F.size(sh), 6)

@@ -77,14 +77,21 @@ def seq_pack_greedy(
     d = _with_shard_tokens(docs, id_col, text_col, n_shards)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # EXACTLY the oracle's recurrence (SQL_DOC_SEQ_PACK_GREEDY):
+        # first doc opens bin 0; afterwards overflow ⇔ acc + t > budget
+        # — no acc>0 guard, so a zero-token doc ahead of an over-budget
+        # doc still leaves the big doc alone in its own bin
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins = []
-        bin_id, acc = 0, 0
+        bin_id, acc = 0, None
         for t in pdf["n_tokens"]:
-            if acc and acc + t > budget:
+            if acc is None:
+                acc = t
+            elif acc + t > budget:
                 bin_id += 1
-                acc = 0
-            acc += t
+                acc = t
+            else:
+                acc += t
             bins.append(bin_id)
         pdf["bin"] = bins
         return pdf

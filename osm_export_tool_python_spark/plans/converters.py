@@ -63,8 +63,19 @@ def osmand(input_pbf, map_creator_dir, tempdir, jvm_mem=(256, 2048),
     batch.xml, invoke IndexBatchCreator.  Returns the artifact path."""
     pathlib.Path(join(tempdir, "osmand")).mkdir(parents=True, exist_ok=True)
     staged = join(tempdir, "osmand", "osmand.osm.pbf")
-    if not os.path.exists(staged) and os.path.exists(input_pbf):
+    # always stage FRESH (a stale staged file from a previous run must
+    # never be silently indexed — deliberate fix vs the reference's
+    # bare try/except-pass around os.link, nontabular.py:30-33) and
+    # fall back to copy when input and tempdir are on different
+    # filesystems (os.link raises EXDEV there)
+    if os.path.exists(staged):
+        os.remove(staged)
+    try:
         os.link(input_pbf, staged)
+    except OSError:
+        import shutil
+
+        shutil.copyfile(input_pbf, staged)
     with open(join(tempdir, "batch.xml"), "w") as b:
         b.write(_BATCH_XML.format(tempdir=tempdir))
     run([

@@ -205,14 +205,19 @@ def test_trapezoid_decompose_matches_even_odd(data):
     configurations: the trapezoid pieces must cover EXACTLY the
     even-odd region (area identity + Monte-Carlo membership) and every
     piece must be convex."""
-    # simple star-shaped outer ring (gap-constrained — see above)
-    n = data.draw(st.integers(min_value=4, max_value=10))
+    # simple star-shaped outer ring (gap-constrained — see above).
+    # n ≥ 5 with gap weights in [0.5, 1] bounds every angular gap by
+    # 2π/3, so every boundary chord stays ≥ 5·cos(π/3) = 2.5 from the
+    # origin (minimized at equal radii) — which is what actually
+    # guarantees the hole below fits inside (n = 4 allows a 144° gap
+    # whose chord passes 1.55 from the origin, INSIDE the hole)
+    n = data.draw(st.integers(min_value=5, max_value=10))
     gaps = np.array([data.draw(st.floats(0.5, 1.0)) for _ in range(n)])
     angles = np.concatenate([[0.0], np.cumsum(gaps)[:-1]]) * (2 * np.pi / gaps.sum())
     radii = np.array([data.draw(st.floats(5.0, 20.0)) for _ in range(n)])
     outer = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
-    # a small rectangular hole near the origin is inside any such star
-    # (min radius 5 ⇒ the kernel contains the disk r<2.5 around 0)
+    # a small rectangular hole near the origin: max corner distance
+    # 1.5·√2 ≈ 2.12 < 2.5 ⇒ strictly inside the star
     hw = data.draw(st.floats(0.3, 1.5))
     hh = data.draw(st.floats(0.3, 1.5))
     hole = np.array([[-hw, -hh], [hw, -hh], [hw, hh], [-hw, hh]])

@@ -340,12 +340,16 @@ def test_seq_pack_variants(spark):
         rows = fn(docs, budget=budget, n_shards=2).collect()
         assert len(rows) == 12 and len({r["doc_id"] for r in rows}) == 12
         by_bin = {}
-        for r in rows:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
             by_bin.setdefault((r["shard"], r["bin"]), []).append(r["n_tokens"])
         for (sh, b), toks in by_bin.items():
             if fn is seq_pack_greedy:
                 # strict: over budget only when one doc alone exceeds it
                 assert sum(toks) <= budget or len(toks) == 1, (sh, b, toks)
+            else:
+                # streaming bound: everything except the LAST doc fits
+                # inside the bin's budget cell (overflow ≤ one doc)
+                assert sum(toks[:-1]) < budget, (sh, b, toks)
         if fn is seq_pack_greedy:
             # greedy bins are contiguous from 0 per shard (streaming
             # bins may legitimately skip numbers when one doc spans
@@ -399,3 +403,20 @@ def test_repetition_ratio_and_contamination(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # bench shingles are broadcast; no corpus shuffle on the shingle key
     assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
+
+
+def test_seq_pack_greedy_zero_token_doc_matches_oracle_recurrence(spark):
+    """A zero-token doc ahead of an over-budget doc (the code-review
+    repro): the Python recurrence must match the WITH RECURSIVE oracle
+    — empty doc alone in bin 0, over-budget doc alone in bin 1."""
+    from osm_export_tool_python_spark.operators.pack import seq_pack_greedy
+
+    docs = spark.createDataFrame(
+        [(0, ""), (2, " ".join(["w"] * 300)), (4, " ".join(["w"] * 50))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in seq_pack_greedy(docs, budget=256, n_shards=1).collect()
+    }
+    assert got == {0: 0, 2: 1, 4: 2}
