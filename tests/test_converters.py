@@ -68,3 +68,22 @@ def test_mwm_env_contract(tmp_path):
     assert env["OSMCONVERT"] == "/usr/bin/osmconvert"
     assert env["TARGET"] == str(tmp_path)
     assert env["GENERATOR_TOOL"] == "/omim/generator_tool"
+
+
+def test_osmand_staging_always_fresh(tmp_path):
+    """A stale staged PBF from a previous run must be REPLACED, never
+    silently re-indexed; a missing input fails loudly."""
+    import pytest
+
+    run = Recorder()
+    pbf1 = tmp_path / "a.osm.pbf"
+    pbf1.write_bytes(b"first")
+    osmand(str(pbf1), "/opt/mc", str(tmp_path), run=run)
+    pbf2 = tmp_path / "b.osm.pbf"
+    pbf2.write_bytes(b"second-different")
+    osmand(str(pbf2), "/opt/mc", str(tmp_path), run=run)
+    staged = tmp_path / "osmand" / "osmand.osm.pbf"
+    assert staged.read_bytes() == b"second-different"
+
+    with pytest.raises(OSError):
+        osmand(str(tmp_path / "missing.pbf"), "/opt/mc", str(tmp_path), run=run)
