@@ -35,6 +35,12 @@ def main(argv=None):
     parser.add_argument("--master", default=None, help="spark master (default local[cpus])")
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument(
+        "--binary", action="store_true",
+        help="also write the single-file artifacts (.gpkg/.shp/.kml/"
+        ".mbtiles) via the driver-side streamed writer — a single-"
+        "writer pass over every feature, so opt-in at scale",
+    )
+    parser.add_argument(
         "--metrics", action="store_true",
         help="also record assembly dropout metrics (incomplete ways / invalid relations)",
     )
@@ -88,6 +94,7 @@ def main(argv=None):
         tile_zooms=(zmin, zmax),
         resume=not parsed.no_resume,
         dropout_metrics=parsed.metrics,
+        binary=parsed.binary,
     )
     print("Completed in {0} seconds.".format(round(time.time() - start, 1)))
     for entry in manifest["entries"]:

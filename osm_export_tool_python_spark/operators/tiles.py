@@ -3,8 +3,25 @@
 The reference's mbtiles path fetches raster XYZ tiles over the AOI bbox
 for a zoom range (nontabular.py:103-108, landez).  The engine's
 vector-native equivalent: assign every feature to the XYZ tiles its
-bbox covers at each zoom in [min_zoom, max_zoom], then pack tiles with
-groupBy.
+GEOMETRY intersects at each zoom in [min_zoom, max_zoom], then pack
+tiles with groupBy.
+
+Two assignment paths:
+
+  exact (default for the tile table) — `with_tile_cells_exact`:
+    points via pure Column math; lines/polygon boundaries via a
+    vectorized grid-supercover traversal (Amanatides–Woo style, done
+    batch-wide in numpy over an Arrow batch: every boundary crossing of
+    every segment of every feature is one row of a flat array — no
+    per-feature Python loop); polygon interiors via an even-odd
+    scanline fill over tile-row centers.  Fanout is O(tiles actually
+    intersected) — a continental coastline way lands in the ~n tiles
+    it crosses, never the n² of its bbox, so NO fanout cap exists and
+    nothing is ever silently dropped.
+
+  bbox cover — `with_tile_cells`: pure-Column bbox→tile-range explode.
+    Kept for the cell-prefix partition layout (sources/tables.py) where
+    a conservative SUPERSET is exactly what an index partition wants.
 
 Skew is the design driver here (axis A+B): geometry density is wildly
 non-uniform (hot city cells), so:
@@ -29,16 +46,18 @@ from pyspark.sql import functions as F
 from ..functions.cells import cell_from_zxy, lonlat_to_tile
 
 
-def _tiles_for_bbox(xmin, ymin, xmax, ymax, zooms, max_cells_per_zoom=256):
-    """All covering cells of one bbox across zooms (numpy per row)."""
+def _tiles_for_bbox(xmin, ymin, xmax, ymax, zooms, max_cells_per_zoom=None):
+    """All covering cells of one bbox across zooms (numpy per row).
+    No silent cap by default: pass `max_cells_per_zoom` ONLY when the
+    caller surfaces the skipped (feature, zoom) count itself."""
     out = []
     for z in zooms:
         x0, y1 = lonlat_to_tile(np.array([xmin]), np.array([ymin]), z)
         x1, y0 = lonlat_to_tile(np.array([xmax]), np.array([ymax]), z)
         nx = int(x1[0]) - int(x0[0]) + 1
         ny = int(y1[0]) - int(y0[0]) + 1
-        if nx * ny > max_cells_per_zoom:
-            continue  # coarse zoom already covers it; skip absurd fanout
+        if max_cells_per_zoom is not None and nx * ny > max_cells_per_zoom:
+            continue
         xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.uint64)
         for ty in range(int(y0[0]), int(y1[0]) + 1):
             cells = cell_from_zxy(z, xs, np.full(len(xs), ty, dtype=np.uint64))
@@ -82,15 +101,20 @@ def cell_col(zoom, x, y):
 
 
 def with_tile_cells(
-    features: DataFrame, min_zoom: int, max_zoom: int, max_cells_per_zoom: int = 256
+    features: DataFrame, min_zoom: int, max_zoom: int, max_cells_per_zoom: int = None
 ) -> DataFrame:
-    """Add `cell` (exploded): one row per (feature, covering tile,
+    """Add `cell` (exploded): one row per (feature, BBOX-covering tile,
     zoom).  Entirely JVM-side Column math — zoom explode, per-zoom
     bbox→tile-range arithmetic, sequence×sequence explode, Morton
     packing — so whole-stage codegen handles millions of features
-    without touching Python.  Features whose bbox covers more than
-    `max_cells_per_zoom` tiles at a zoom are skipped at that zoom
-    (coarser zooms still cover them)."""
+    without touching Python.
+
+    Bbox-cover semantics (a SUPERSET of geometry intersection) — the
+    right shape for the cell-prefix partition index; the tile TABLE
+    uses `with_tile_cells_exact`.  No cap by default: if
+    `max_cells_per_zoom` is set, (feature, zoom) rows over the cap are
+    dropped, and the caller MUST surface the drop count (see
+    `bbox_fanout_over_cap`) — silent truncation is not an option."""
     z = F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("z")
     df = features.select("*", z)
     x0 = tile_x_col(F.array_min("xs"), F.col("z"))
@@ -98,15 +122,378 @@ def with_tile_cells(
     y0 = tile_y_col(F.array_max("ys"), F.col("z"))  # y grows southward
     y1 = tile_y_col(F.array_min("ys"), F.col("z"))
     df = df.withColumn("__x0", x0).withColumn("__x1", x1).withColumn("__y0", y0).withColumn("__y1", y1)
-    df = df.where(
-        (F.col("__x1") - F.col("__x0") + 1) * (F.col("__y1") - F.col("__y0") + 1)
-        <= max_cells_per_zoom
-    )
+    if max_cells_per_zoom is not None:
+        df = df.where(
+            (F.col("__x1") - F.col("__x0") + 1) * (F.col("__y1") - F.col("__y0") + 1)
+            <= max_cells_per_zoom
+        )
     df = df.withColumn("__tx", F.explode(F.sequence("__x0", "__x1")))
     df = df.withColumn("__ty", F.explode(F.sequence("__y0", "__y1")))
     return df.withColumn(
         "cell", cell_col(F.col("z"), F.col("__tx"), F.col("__ty"))
     ).drop("z", "__x0", "__x1", "__y0", "__y1", "__tx", "__ty")
+
+
+def bbox_fanout_over_cap(
+    features: DataFrame, min_zoom: int, max_zoom: int, cap: int
+) -> DataFrame:
+    """(osm_id, src, z, n_cells) for every (feature, zoom) whose bbox
+    cover exceeds `cap` — the visibility companion to a capped
+    `with_tile_cells` call: count() of this frame is the manifest
+    metric that makes any truncation loud."""
+    z = F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("z")
+    df = features.select("osm_id", "src", "xs", "ys", z)
+    nx = tile_x_col(F.array_max("xs"), F.col("z")) - tile_x_col(
+        F.array_min("xs"), F.col("z")
+    ) + 1
+    ny = tile_y_col(F.array_min("ys"), F.col("z")) - tile_y_col(
+        F.array_max("ys"), F.col("z")
+    ) + 1
+    return (
+        df.withColumn("n_cells", nx * ny)
+        .where(F.col("n_cells") > cap)
+        .select("osm_id", "src", "z", "n_cells")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact (geometry-intersection) tile assignment
+# ---------------------------------------------------------------------------
+#
+# Coordinates: tile x is linear in lon; tile y is mercator in lat, so a
+# segment straight in lon/lat crosses a NON-uniform rectilinear grid —
+# vertical tile boundaries at lon_k = k·360/2^z − 180, horizontal ones
+# at lat_j = atan(sinh(π(1 − 2j/2^z))).  Both crossing families are
+# closed-form in the segment parameter, so the supercover is a flat
+# vectorized computation: counts per segment → repeat/arange expansion
+# → one numpy expression per crossing family.  A tile grazed only at a
+# single corner point (measure-zero contact) may be omitted; every
+# tile with positive-length/area intersection is found.
+
+_MERC_LIMIT = 85.05112878
+
+
+def _merc_yf(lat, n):
+    """Continuous mercator tile-y (float) at zoom with 2^z = n."""
+    lat = np.clip(np.asarray(lat, np.float64), -_MERC_LIMIT, _MERC_LIMIT)
+    return (1.0 - np.arcsinh(np.tan(np.radians(lat))) / np.pi) / 2.0 * n
+
+
+def _yf_to_lat(yf, n):
+    """Latitude at continuous mercator tile-y `yf` (boundary j → lat of
+    the boundary; j+0.5 → lat of the row's center line)."""
+    t = np.pi * (1.0 - 2.0 * np.asarray(yf, np.float64) / n)
+    return np.degrees(np.arctan(np.sinh(t)))
+
+
+def _expand_ranges(lo, hi):
+    """Per-row inclusive integer ranges → (row_idx, value) flat arrays
+    (empty where hi < lo).  The repeat/arange expansion every crossing
+    family below rides on."""
+    cnt = np.maximum(hi - lo + 1, 0).astype(np.int64)
+    total = int(cnt.sum())
+    idx = np.repeat(np.arange(len(lo)), cnt)
+    if total == 0:
+        return idx, np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ordinal = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    return idx, lo[idx] + ordinal
+
+
+def _segment_supercover(feat, lon0, lat0, lon1, lat1, z):
+    """Tiles intersected by each straight lon/lat segment at zoom z.
+    Returns (feature_idx, tile_x, tile_y) flat arrays (with per-segment
+    duplicates; caller dedupes)."""
+    n = float(2**z)
+    nmax = (1 << z) - 1
+    tx0 = (lon0 + 180.0) / 360.0 * n
+    tx1 = (lon1 + 180.0) / 360.0 * n
+    yf0 = _merc_yf(lat0, n)
+    yf1 = _merc_yf(lat1, n)
+    ix0 = np.clip(np.floor(tx0), 0, nmax).astype(np.int64)
+    ix1 = np.clip(np.floor(tx1), 0, nmax).astype(np.int64)
+    iy0 = np.clip(np.floor(yf0), 0, nmax).astype(np.int64)
+    iy1 = np.clip(np.floor(yf1), 0, nmax).astype(np.int64)
+
+    fs = [feat, feat]
+    xs = [ix0, ix1]
+    ys = [iy0, iy1]
+
+    # vertical boundary crossings: lon = k·360/n − 180
+    s_idx, k = _expand_ranges(np.minimum(ix0, ix1) + 1, np.maximum(ix0, ix1))
+    if len(k):
+        t = (k - tx0[s_idx]) / (tx1[s_idx] - tx0[s_idx])
+        lat_at = lat0[s_idx] + t * (lat1[s_idx] - lat0[s_idx])
+        ty = np.clip(np.floor(_merc_yf(lat_at, n)), 0, nmax).astype(np.int64)
+        tx = np.where(tx1[s_idx] > tx0[s_idx], k, k - 1)
+        fs.append(feat[s_idx])
+        xs.append(np.clip(tx, 0, nmax))
+        ys.append(ty)
+
+    # horizontal boundary crossings: yf = j (lat_j = atan(sinh(...)))
+    s_idx, j = _expand_ranges(np.minimum(iy0, iy1) + 1, np.maximum(iy0, iy1))
+    if len(j):
+        lat_b = _yf_to_lat(j, n)
+        t = (lat_b - lat0[s_idx]) / (lat1[s_idx] - lat0[s_idx])
+        tx = np.clip(
+            np.floor(tx0[s_idx] + t * (tx1[s_idx] - tx0[s_idx])), 0, nmax
+        ).astype(np.int64)
+        ty = np.where(yf1[s_idx] > yf0[s_idx], j, j - 1)
+        fs.append(feat[s_idx])
+        xs.append(tx)
+        ys.append(np.clip(ty, 0, nmax))
+
+    return np.concatenate(fs), np.concatenate(xs), np.concatenate(ys)
+
+
+def _polygon_fill(feat, lon0, lat0, lon1, lat1, z):
+    """Even-odd scanline fill: tiles whose CENTER lies inside the
+    polygon whose edges are given (all rings — outer and holes — of
+    each feature, even-odd).  A tile overlapping the polygon but with
+    its center outside must touch a ring and is picked up by the
+    boundary supercover; together the two sets are exactly the tiles
+    with non-empty intersection.  Scanlines are tile-row center
+    latitudes; columns with center longitude in an inside interval are
+    emitted."""
+    n = float(2**z)
+    nmax = (1 << z) - 1
+    tx0 = (lon0 + 180.0) / 360.0 * n
+    tx1 = (lon1 + 180.0) / 360.0 * n
+    yf0 = _merc_yf(lat0, n)
+    yf1 = _merc_yf(lat1, n)
+
+    # rows whose center yc=j+0.5 toggles on this edge: yc ∈ [min, max)
+    yl = np.minimum(yf0, yf1)
+    yh = np.maximum(yf0, yf1)
+    jlo = np.ceil(yl - 0.5).astype(np.int64)
+    jhi = (np.ceil(yh - 0.5) - 1).astype(np.int64)
+    e_idx, j = _expand_ranges(np.maximum(jlo, 0), np.minimum(jhi, nmax))
+    if len(j) == 0:
+        return (
+            np.empty(0, dtype=feat.dtype),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    lat_c = _yf_to_lat(j + 0.5, n)
+    s = (lat_c - lat0[e_idx]) / (lat1[e_idx] - lat0[e_idx])
+    x_at = tx0[e_idx] + s * (tx1[e_idx] - tx0[e_idx])
+    f = feat[e_idx]
+
+    # group by (feature, row), order crossings by x, pair even-odd
+    order = np.lexsort((x_at, j, f))
+    f, j, x_at = f[order], j[order], x_at[order]
+    new_group = np.empty(len(f), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (f[1:] != f[:-1]) | (j[1:] != j[:-1])
+    group_id = np.cumsum(new_group) - 1
+    sizes = np.bincount(group_id)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    ordinal = np.arange(len(f)) - starts[group_id]
+    # defensive: an odd crossing count (degenerate ring) drops its last
+    # unpaired crossing instead of corrupting the pairing
+    keep = ordinal < 2 * (sizes[group_id] // 2)
+    f, j, x_at, ordinal = f[keep], j[keep], x_at[keep], ordinal[keep]
+    xa = x_at[ordinal % 2 == 0]
+    xb = x_at[ordinal % 2 == 1]
+    pf = f[ordinal % 2 == 0]
+    pj = j[ordinal % 2 == 0]
+    # columns k with xa < k+0.5 < xb
+    klo = (np.floor(xa - 0.5) + 1).astype(np.int64)
+    khi = (np.ceil(xb - 0.5) - 1).astype(np.int64)
+    p_idx, k = _expand_ranges(np.maximum(klo, 0), np.minimum(khi, nmax))
+    return pf[p_idx], k, pj[p_idx]
+
+
+def exact_cells_batch(geom_types, xs_list, ys_list, ring_offsets_list, min_zoom, max_zoom):
+    """Per-feature exact tile cells across zooms for one Arrow batch.
+    Returns a list of np.int64 arrays (deduped cells per feature)."""
+    nfeat = len(xs_list)
+    lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=nfeat)
+    total = int(lens.sum())
+    empty = np.empty(0, dtype=np.int64)
+    if total == 0:
+        return [empty] * nfeat
+    flat_x = np.concatenate([np.asarray(x, np.float64) for x in xs_list])
+    flat_y = np.concatenate([np.asarray(y, np.float64) for y in ys_list])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    feat_of_pt = np.repeat(np.arange(nfeat), lens)
+    is_poly = np.asarray([g == "polygon" for g in geom_types])
+
+    # global ring boundaries → segment index pairs (i, i+1) within rings
+    ring_a, ring_b, ring_feat = [], [], []
+    for fidx in range(nfeat):
+        offs = np.asarray(ring_offsets_list[fidx], dtype=np.int64)
+        if len(offs) < 2:
+            offs = np.array([0, lens[fidx]], dtype=np.int64)
+        ring_a.append(starts[fidx] + offs[:-1])
+        ring_b.append(starts[fidx] + offs[1:])
+        ring_feat.append(np.full(len(offs) - 1, fidx, dtype=np.int64))
+    ring_a = np.concatenate(ring_a)
+    ring_b = np.concatenate(ring_b)
+    ring_feat = np.concatenate(ring_feat)
+
+    is_ring_start = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(is_ring_start, ring_a, 1)
+    ring_of_pt = np.cumsum(is_ring_start[:-1]) - 1
+    seg_i = np.nonzero(ring_of_pt[: total - 1] == ring_of_pt[1:])[0]
+    s0, s1 = seg_i, seg_i + 1
+
+    # closing segments for unclosed polygon rings (relation-assembled
+    # rings omit the closing repeat; closed ways include it)
+    poly_ring = is_poly[ring_feat] & (ring_b - ring_a >= 3)
+    pa, pb = ring_a[poly_ring], ring_b[poly_ring]
+    unclosed = (flat_x[pa] != flat_x[pb - 1]) | (flat_y[pa] != flat_y[pb - 1])
+    s0 = np.concatenate([s0, pb[unclosed] - 1])
+    s1 = np.concatenate([s1, pa[unclosed]])
+
+    seg_feat = feat_of_pt[s0]
+    lon0, lat0 = flat_x[s0], flat_y[s0]
+    lon1, lat1 = flat_x[s1], flat_y[s1]
+    poly_seg = is_poly[seg_feat]
+
+    out_feat, out_cell = [], []
+    for z in range(min_zoom, max_zoom + 1):
+        n = float(2**z)
+        nmax = (1 << z) - 1
+        f, tx, ty = _segment_supercover(seg_feat, lon0, lat0, lon1, lat1, z)
+        out_feat.append(f)
+        out_cell.append(
+            cell_from_zxy(z, tx.astype(np.uint64), ty.astype(np.uint64)).astype(np.int64)
+        )
+        # first-point tile per nonempty feature (1-point/degenerate rows)
+        fp = np.nonzero(lens > 0)[0]
+        px = np.clip(
+            np.floor((flat_x[starts[fp]] + 180.0) / 360.0 * n), 0, nmax
+        ).astype(np.uint64)
+        py = np.clip(np.floor(_merc_yf(flat_y[starts[fp]], n)), 0, nmax).astype(
+            np.uint64
+        )
+        out_feat.append(fp)
+        out_cell.append(cell_from_zxy(z, px, py).astype(np.int64))
+        if poly_seg.any():
+            f, kx, ky = _polygon_fill(
+                seg_feat[poly_seg],
+                lon0[poly_seg],
+                lat0[poly_seg],
+                lon1[poly_seg],
+                lat1[poly_seg],
+                z,
+            )
+            if len(f):
+                out_feat.append(f)
+                out_cell.append(
+                    cell_from_zxy(z, kx.astype(np.uint64), ky.astype(np.uint64)).astype(
+                        np.int64
+                    )
+                )
+
+    feat = np.concatenate(out_feat)
+    cell = np.concatenate(out_cell)
+    order = np.lexsort((cell, feat))
+    feat, cell = feat[order], cell[order]
+    uniq = np.empty(len(feat), dtype=bool)
+    if len(feat):
+        uniq[0] = True
+        uniq[1:] = (feat[1:] != feat[:-1]) | (cell[1:] != cell[:-1])
+    feat, cell = feat[uniq], cell[uniq]
+    counts = np.bincount(feat, minlength=nfeat)
+    splits = np.split(cell, np.cumsum(counts)[:-1])
+    return [np.asarray(s, dtype=np.int64) for s in splits]
+
+
+def exact_cells_udf(min_zoom: int, max_zoom: int):
+    """pandas_udf (geom_type, xs, ys, ring_offsets) → array<long> of
+    exact-intersection tile cells across the zoom range.  One Arrow
+    batch per call; the kernel is flat numpy (no per-feature Python)."""
+    import pandas as pd
+
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    empty = np.empty(0, dtype=np.float64)
+
+    @pandas_udf("array<long>")
+    def _cells(
+        geom_type: pd.Series, xs: pd.Series, ys: pd.Series, ring_offsets: pd.Series
+    ) -> pd.Series:
+        # null inputs (rows routed to the pure-Column path) cost nothing
+        out = exact_cells_batch(
+            ["" if g is None else g for g in geom_type.tolist()],
+            [empty if x is None else x for x in xs.tolist()],
+            [empty if y is None else y for y in ys.tolist()],
+            [[] if r is None else r for r in ring_offsets.tolist()],
+            min_zoom,
+            max_zoom,
+        )
+        return pd.Series(out)
+
+    return _cells
+
+
+def with_tile_cells_exact(features: DataFrame, min_zoom: int, max_zoom: int) -> DataFrame:
+    """Add `cell` (exploded): one row per (feature, tile, zoom) with
+    INTERSECTION semantics — a tile appears iff the feature's geometry
+    actually touches it.  Fanout is O(tiles intersected): no cap,
+    nothing dropped.
+
+    SINGLE-PASS two-way routing (no union, one scan, one explode):
+      - THIN features — points, and lines/polygons whose bbox cover at
+        max_zoom is one tile row or one tile column with connected
+        geometry (single polyline / single-part polygon): bbox cover
+        is PROVABLY exact (a point's bbox is its tile; a connected set
+        spanning a 1-wide strip of tiles touches every tile of the
+        strip, and thin-at-max_zoom implies thin at every coarser zoom
+        since a tile column/row nests into one parent).  These build
+        their cell array with a pure-Column nested transform (lazy
+        CASE branch, whole-stage-friendly, no Python).  At OSM-like
+        size distributions this is every node and almost every way;
+      - everything else (multi-row AND multi-column straddlers,
+        multi-part geometries): the vectorized supercover + scanline
+        kernel.  The kernel UDF is fed NULLs for thin rows — pandas
+        UDFs evaluate unconditionally, so the nulling keeps the Arrow
+        transfer proportional to the FAT subset only."""
+    zm = F.lit(max_zoom)
+    nx = tile_x_col(F.array_max("xs"), zm) - tile_x_col(F.array_min("xs"), zm) + 1
+    ny = tile_y_col(F.array_min("ys"), zm) - tile_y_col(F.array_max("ys"), zm) + 1
+    connected = F.size("ring_offsets") == 2
+    if "part_offsets" in features.columns:
+        connected = connected | (
+            (F.col("geom_type") == "polygon") & (F.size("part_offsets") == 2)
+        )
+    thin = (
+        (F.col("geom_type") == "point") | (((nx == 1) | (ny == 1)) & connected)
+    )
+
+    narr = F.lit(None).cast("array<double>")
+    kernel_cells = exact_cells_udf(min_zoom, max_zoom)(
+        F.when(thin, F.lit(None).cast("string")).otherwise(F.col("geom_type")),
+        F.when(thin, narr).otherwise(F.col("xs")),
+        F.when(thin, narr).otherwise(F.col("ys")),
+        F.when(thin, F.lit(None).cast("array<int>")).otherwise(F.col("ring_offsets")),
+    )
+    cells = F.when(thin, _bbox_cells_array(min_zoom, max_zoom)).otherwise(kernel_cells)
+    return features.withColumn("cell", F.explode(cells))
+
+
+def _bbox_cells_array(min_zoom: int, max_zoom: int):
+    """array<long> of bbox-cover cells across zooms as ONE pure-Column
+    nested-transform expression (the thin branch of
+    with_tile_cells_exact — exact there by the strip argument)."""
+    def cells_at(z):
+        x0 = tile_x_col(F.array_min("xs"), z)
+        x1 = tile_x_col(F.array_max("xs"), z)
+        y0 = tile_y_col(F.array_max("ys"), z)  # y grows southward
+        y1 = tile_y_col(F.array_min("ys"), z)
+        return F.flatten(
+            F.transform(
+                F.sequence(x0, x1),
+                lambda x: F.transform(F.sequence(y0, y1), lambda y: cell_col(z, x, y)),
+            )
+        )
+
+    return F.flatten(
+        F.transform(F.sequence(F.lit(min_zoom), F.lit(max_zoom)), cells_at)
+    )
 
 
 def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
@@ -119,9 +506,14 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
     )
 
 
-def tile_counts(features: DataFrame, min_zoom: int, max_zoom: int) -> DataFrame:
-    """(z, x, y, n_features) — partial agg absorbs hot-cell skew."""
-    with_cells = with_tile_cells(features, min_zoom, max_zoom)
+def tile_counts(
+    features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True
+) -> DataFrame:
+    """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
+    `exact=True` (default) assigns by geometry intersection; False is
+    the pure-Column bbox cover (superset)."""
+    assigner = with_tile_cells_exact if exact else with_tile_cells
+    with_cells = assigner(features, min_zoom, max_zoom)
     counts = with_cells.groupBy("cell").agg(F.count("*").alias("n_features"))
     return counts.select(
         decode_cell_cols("cell"),
@@ -153,15 +545,21 @@ def decode_cell_cols(cell_col="cell"):
 
 
 def tile_features(
-    features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16
+    features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16,
+    exact: bool = True,
 ) -> DataFrame:
     """(z, x, y, n_features, osm_ids) — the packed tile table.
+
+    `exact=True` (default): a feature appears in a tile iff its
+    geometry intersects it (supercover + scanline kernel); False is
+    the bbox-cover superset.
 
     Two-phase salted aggregation: hot tiles are split into `salt`
     sub-buckets for the wide shuffle, then merged per tile.  Tile
     contents are exactly the unsalted result; only the shuffle's key
     cardinality changes."""
-    with_cells = with_tile_cells(features, min_zoom, max_zoom)
+    assigner = with_tile_cells_exact if exact else with_tile_cells
+    with_cells = assigner(features, min_zoom, max_zoom)
     salted = with_cells.withColumn(
         "__salt", F.pmod(F.hash("osm_id"), F.lit(salt))
     )

@@ -1830,19 +1830,27 @@ def q_media_real_roundtrip(spark, sf_dir):
     globals()["pd"] = pd  # resolve string annotations (future-annotations module)
     from pyspark.sql.functions import pandas_udf
 
-    from ..operators.multimodal import decode_bmp, decode_wav, synth_real_media
+    from ..operators.multimodal import (
+        decode_bmp,
+        synth_real_media,
+        wav_content_sums_batch,
+    )
 
     media = synth_real_media(spark, n=120)
 
     @pandas_udf("long")
     def dsum(payload: pd.Series, kind: pd.Series) -> pd.Series:
-        out = []
-        for p, k in zip(payload, kind):
-            if k == "image":
-                out.append(int(decode_bmp(bytes(p)).astype(np.int64).sum()))
-            else:
-                s, _rate = decode_wav(bytes(p))
-                out.append(int(s.astype(np.int64).sum()))
+        kinds = kind.to_numpy()
+        pays = payload.to_numpy()
+        out = np.zeros(len(pays), dtype=np.int64)
+        # audio: one vectorized batch pass (canonical-header WAVs sum
+        # over a single concatenated int16 view); image: per-file BMP
+        # dispatch stays — variable row padding defeats batching
+        aud = np.nonzero(kinds != "image")[0]
+        if len(aud):
+            out[aud] = wav_content_sums_batch([pays[i] for i in aud])
+        for i in np.nonzero(kinds == "image")[0]:
+            out[i] = int(decode_bmp(bytes(pays[i])).astype(np.int64).sum())
         return pd.Series(out)
 
     return media.select(
@@ -1895,6 +1903,247 @@ FROM vals GROUP BY i, kind
 # registry
 # ---------------------------------------------------------------------------
 
+def q_osm_tile_bigfeature(spark, sf_dir):
+    """Exact tile membership for a feature whose bbox cover (35,568
+    tiles at z8) vastly exceeds the tiles its geometry crosses (383):
+    the case the old bbox path silently DROPPED (capped at 256) and
+    bbox cover would massively over-assign.  The supercover traversal
+    (operators/tiles.py with_tile_cells_exact) emits exactly the
+    crossed tiles; the oracle derives the same set in closed form —
+    endpoint tiles + every lon-boundary crossing + every mercator
+    lat-boundary crossing of the straight lon/lat segment."""
+    from ..operators.tiles import decode_cell_cols, with_tile_cells_exact
+
+    df = spark.createDataFrame(
+        [(1, "way", "line", [-170.03, 150.41], [-75.17, 70.23], [0, 2])],
+        "osm_id long, src string, geom_type string, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    out = with_tile_cells_exact(df, 8, 8)
+    return out.select(decode_cell_cols("cell")).select("c.z", "c.x", "c.y")
+
+
+SQL_OSM_TILE_BIGFEATURE = """
+WITH ep AS (
+  SELECT -170.03 AS lon0, -75.17 AS lat0, 150.41 AS lon1, 70.23 AS lat1, 256.0 AS n
+), tc AS (
+  SELECT *,
+         (lon0 + 180.0) / 360.0 * n AS tx0,
+         (lon1 + 180.0) / 360.0 * n AS tx1,
+         (1.0 - ln(tan(radians(lat0)) + 1.0/cos(radians(lat0))) / pi()) / 2.0 * n AS yf0,
+         (1.0 - ln(tan(radians(lat1)) + 1.0/cos(radians(lat1))) / pi()) / 2.0 * n AS yf1
+  FROM ep
+), endpoints AS (
+  SELECT CAST(floor(tx0) AS BIGINT) AS x, CAST(floor(yf0) AS BIGINT) AS y FROM tc
+  UNION ALL
+  SELECT CAST(floor(tx1) AS BIGINT), CAST(floor(yf1) AS BIGINT) FROM tc
+), vert AS (
+  -- lon0 < lon1 so every vertical crossing enters tile x = k
+  SELECT CAST(k AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(lat_at)) + 1.0/cos(radians(lat_at))) / pi()) / 2.0 * n) AS BIGINT) AS y
+  FROM (
+    SELECT n, lat0 + (k - tx0) / (tx1 - tx0) * (lat1 - lat0) AS lat_at, k
+    FROM tc, UNNEST(generate_series(CAST(floor(tx0) AS BIGINT) + 1,
+                                    CAST(floor(tx1) AS BIGINT))) t(k)
+  )
+), horiz AS (
+  -- lat0 < lat1 so mercator y decreases: crossing boundary j enters tile y = j-1;
+  -- boundary latitude = atan(sinh(pi*(1-2j/n))) with sinh spelled via exp
+  SELECT CAST(floor(tx0 + (degrees(atan((exp(pi()*(1.0 - 2.0*j/n)) - exp(-pi()*(1.0 - 2.0*j/n))) / 2.0)) - lat0)
+                          / (lat1 - lat0) * (tx1 - tx0)) AS BIGINT) AS x,
+         CAST(j - 1 AS BIGINT) AS y
+  FROM tc, UNNEST(generate_series(CAST(floor(yf1) AS BIGINT) + 1,
+                                  CAST(floor(yf0) AS BIGINT))) t(j)
+)
+SELECT DISTINCT 8 AS z, x, y
+FROM (SELECT * FROM endpoints UNION ALL SELECT * FROM vert UNION ALL SELECT * FROM horiz)
+"""
+
+
+def q_osm_tile_polygon_fill(spark, sf_dir):
+    """Intersection-exact tile table for a donut polygon (rect outer +
+    rect hole, relation-style unclosed rings) at zooms 5-6: boundary
+    tiles come from ring supercover, interior tiles from the even-odd
+    scanline fill — and tiles fully inside the HOLE are absent.  The
+    oracle is closed form: every tile in the outer rect's range except
+    tiles strictly inside the hole."""
+    from ..operators.tiles import decode_cell_cols, with_tile_cells_exact
+
+    xs = [-30.17, 50.37, 50.37, -30.17, -10.08, 25.19, 25.19, -10.08]
+    ys = [-40.23, -40.23, 45.11, 45.11, -20.13, -20.13, 30.07, 30.07]
+    df = spark.createDataFrame(
+        [(7, "relation", "polygon", xs, ys, [0, 4, 8])],
+        "osm_id long, src string, geom_type string, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    out = with_tile_cells_exact(df, 5, 6)
+    return out.select(decode_cell_cols("cell")).select("c.z", "c.x", "c.y")
+
+
+SQL_OSM_TILE_POLYGON_FILL = """
+WITH b AS (
+  SELECT -30.17 AS ow, 50.37 AS oe, -40.23 AS os, 45.11 AS onn,
+         -10.08 AS hw, 25.19 AS he, -20.13 AS hs, 30.07 AS hn
+), zs AS (
+  SELECT CAST(z AS INT) AS z, pow(2.0, z) AS n FROM UNNEST(generate_series(5, 6)) t(z)
+), tc AS (
+  SELECT z, n,
+         CAST(floor((ow + 180.0)/360.0*n) AS BIGINT) AS ox0,
+         CAST(floor((oe + 180.0)/360.0*n) AS BIGINT) AS ox1,
+         CAST(floor((1.0 - ln(tan(radians(onn)) + 1.0/cos(radians(onn)))/pi())/2.0*n) AS BIGINT) AS oy0,
+         CAST(floor((1.0 - ln(tan(radians(os)) + 1.0/cos(radians(os)))/pi())/2.0*n) AS BIGINT) AS oy1,
+         (hw + 180.0)/360.0*n AS hx0, (he + 180.0)/360.0*n AS hx1,
+         (1.0 - ln(tan(radians(hn)) + 1.0/cos(radians(hn)))/pi())/2.0*n AS hy0,
+         (1.0 - ln(tan(radians(hs)) + 1.0/cos(radians(hs)))/pi())/2.0*n AS hy1
+  FROM b, zs
+)
+SELECT z, x, y FROM (
+  SELECT z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, hx0, hx1, hy0, hy1
+  FROM tc,
+       UNNEST(generate_series(ox0, ox1)) tx(x),
+       UNNEST(generate_series(oy0, oy1)) ty(y)
+)
+WHERE NOT (x >= ceil(hx0) AND x + 1 <= floor(hx1) AND y >= ceil(hy0) AND y + 1 <= floor(hy1))
+"""
+
+
+def q_minhash_xx_dedup(spark, sf_dir):
+    """The xxhash64 SCALE path of LSH dedup (signature table → banded
+    bucket join → jaccard verify → survivor anti-join), driver-gated
+    on a corpus where recall is PROVABLY 1 for any hash family:
+    members of a group share an identical shingle set (Jaccard 1.0 ⇒
+    equal minhash signatures in every band ⇒ guaranteed candidates)
+    and distinct groups share zero shingles (every token carries the
+    group id ⇒ Jaccard 0, and any hash-collision candidate dies in the
+    exact-jaccard verify).  Survivors are therefore exactly the min
+    doc_id per group — closed-form window SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.withColumn("grp", F.expr("doc_id DIV 5")).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("g"), F.col("grp").cast("string"), F.lit("w%d" % i))
+                for i in range(6)
+            ],
+        ),
+    )
+    out = D.minhash_dedup(corpus, threshold=0.8, n_hashes=16, bands=4)
+    return out.select("doc_id", "grp")
+
+
+SQL_MINHASH_XX_DEDUP = """
+WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+w AS (SELECT doc_id, grp, MIN(doc_id) OVER (PARTITION BY grp) AS mn FROM g)
+SELECT doc_id, grp FROM w WHERE doc_id = mn
+"""
+
+
+def q_embed_ivf_probe1(spark, sf_dir):
+    """IVF ANN in the PRUNING regime (n_probe=1 of 4 lists), provably
+    equal to brute force: vectors are m·e_c for cluster c = key%4 and
+    integer magnitude m (cosine within a cluster is exactly 1.0 in
+    IEEE arithmetic — sqrt of a perfect square, x/x — and exactly 0.0
+    across clusters), centroids are the 4 basis vectors, so every
+    query's true top-k lives entirely in its own probed list and ties
+    resolve by vec_id in both engines.  Exercises the full machinery —
+    centroid assignment UDF, list_id probe join, window top-k — in the
+    regime where partitions actually prune."""
+    import numpy as np
+
+    from ..operators.similarity import IVFIndex
+
+    k = F.col("c_custkey")
+    cl = (k % 4).cast("int")
+    m = (k % 7 + 1).cast("double")
+    vec = F.array(*[F.when(cl == i, m).otherwise(F.lit(0.0)) for i in range(4)])
+    vecs = (
+        _t(spark, sf_dir, "customer")
+        .where(k < 256)
+        .select(k.cast("long").alias("vec_id"), vec.alias("embedding"))
+    )
+    index = IVFIndex(np.eye(4))
+    indexed = index.assign_lists(vecs)
+    queries = vecs.where(F.col("vec_id") < 20)
+    out = index.topk(indexed, queries, k=5, n_probe=1)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_EMBED_IVF_PROBE1 = """
+WITH v AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 256),
+q AS (SELECT id FROM v WHERE id < 20),
+ranked AS (
+  SELECT q.id AS query_id, v.id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY v.id ASC) AS rnk
+  FROM q JOIN v ON v.id % 4 = q.id % 4 AND v.id <> q.id
+)
+SELECT query_id, vec_id, CAST(1.0 AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_osm_partition_pruned_read(spark, sf_dir):
+    """The Iceberg-style cell-prefix partition layout end to end:
+    write customer points partitioned by their z4 quadkey cell
+    (sources/tables.write_cell_partitioned), read back through the
+    AOI-pruned scan (read_aoi_pruned — planning-time partition
+    pruning; the plan gate lives in tests/test_partition_pruning.py),
+    and match an unpruned DuckDB equivalent: for a rectangle AOI the
+    cover is exactly the z4 tile range of its bbox, so the pruned read
+    returns precisely the points whose z4 tile falls in that range."""
+    from ..operators.clip import AOI
+    from ..operators.tiles import decode_cell_cols
+    from ..sources.tables import read_aoi_pruned, write_cell_partitioned
+
+    k = F.col("c_custkey")
+    feats = (
+        _t(spark, sf_dir, "customer")
+        .where(k < 3000)
+        .select(
+            k.cast("long").alias("osm_id"),
+            F.lit("node").alias("src"),
+            F.array(((k * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("xs"),
+            F.array(((k * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("ys"),
+        )
+    )
+    path = "/tmp/spark_osm_pruned_%s" % sf_dir.strip("/").replace("/", "_")
+    write_cell_partitioned(feats, path, zoom=4)
+    import numpy as np
+
+    rect = np.array(
+        [[-60.13, -30.21], [70.42, -30.21], [70.42, 55.08], [-60.13, 55.08]]
+    )
+    aoi = AOI([rect], cover_zoom=4)
+    df = read_aoi_pruned(spark, path, aoi, zoom=4)
+    return df.select("osm_id", decode_cell_cols("cell_prefix")).select(
+        "osm_id", F.col("c.x").alias("px"), F.col("c.y").alias("py")
+    )
+
+
+SQL_OSM_PARTITION_PRUNED_READ = """
+WITH pts AS (
+  SELECT c_custkey AS osm_id,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer WHERE c_custkey < 3000
+), tiled AS (
+  SELECT osm_id,
+         CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS px,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 16) AS BIGINT) AS py
+  FROM pts
+), cover AS (
+  SELECT CAST(floor((-60.13 + 180.0) / 360.0 * 16) AS BIGINT) AS cx0,
+         CAST(floor(( 70.42 + 180.0) / 360.0 * 16) AS BIGINT) AS cx1,
+         CAST(floor((1.0 - ln(tan(radians(55.08)) + 1.0/cos(radians(55.08))) / pi()) / 2.0 * 16) AS BIGINT) AS cy0,
+         CAST(floor((1.0 - ln(tan(radians(-30.21)) + 1.0/cos(radians(-30.21))) / pi()) / 2.0 * 16) AS BIGINT) AS cy1
+)
+SELECT osm_id, px, py FROM tiled, cover
+WHERE px BETWEEN cx0 AND cx1 AND py BETWEEN cy0 AND cy1
+"""
+
+
 QUERIES = {
     # text / dedup
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
@@ -1943,6 +2192,14 @@ QUERIES = {
     "osm_span_roundtrip": (q_osm_span_roundtrip, SQL_OSM_SPAN_ROUNDTRIP),
     "osm_flagship_export": (q_osm_flagship_export, SQL_OSM_FLAGSHIP_EXPORT),
     "osm_tile_table": (q_osm_tile_table, SQL_OSM_TILE_TABLE),
+    "osm_tile_bigfeature": (q_osm_tile_bigfeature, SQL_OSM_TILE_BIGFEATURE),
+    "osm_tile_polygon_fill": (q_osm_tile_polygon_fill, SQL_OSM_TILE_POLYGON_FILL),
+    "osm_partition_pruned_read": (
+        q_osm_partition_pruned_read,
+        SQL_OSM_PARTITION_PRUNED_READ,
+    ),
+    "minhash_xx_dedup": (q_minhash_xx_dedup, SQL_MINHASH_XX_DEDUP),
+    "embed_ivf_probe1": (q_embed_ivf_probe1, SQL_EMBED_IVF_PROBE1),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }

@@ -88,7 +88,7 @@ def export(
     tile_zooms=None,
     resume: bool = True,
     dropout_metrics: bool = False,
-    binary: bool = True,
+    binary: bool = False,
 ) -> dict:
     """Run a themed export; returns the manifest payload.
 
@@ -100,7 +100,11 @@ def export(
     artifacts (.gpkg SQLite database / .shp+.shx+.dbf+.prj+.cpg /
     .kml) from the distributed datasets via a streamed
     toLocalIterator pass (plans/binary_sinks.py) — the same
-    single-writer final mile the reference's OGR layer performs."""
+    single-writer final mile the reference's OGR layer performs.
+    OPT-IN (default False) because that last mile funnels every
+    feature through the driver: the distributed parquet datasets are
+    the primary artifact at scale, and the CLI's --binary flag
+    requests the single-file outputs when a consumer needs them."""
     manifest = ExportManifest(out_dir)
     if resume:
         manifest.load_done_entries()
@@ -288,6 +292,12 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True):
     # many themes packs once per tile, like the reference's mbtiles
     # which is theme-independent raster fetch)
     uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
+    # intersection-exact assignment (tile_features exact=True default):
+    # fanout is O(tiles the geometry touches), no cap, nothing dropped
+    # — the metric records that invariant loudly in the manifest (a
+    # capped bbox path would have to count its drops here instead,
+    # operators/tiles.bbox_fanout_over_cap)
+    manifest.add_metric("tiles_capped_feature_zooms", 0)
     tf = tile_features(uniq, zooms[0], zooms[1])
     # partition count from cluster parallelism — tf.rdd.getNumPartitions()
     # would force plan materialization and bypass AQE just to pick a number

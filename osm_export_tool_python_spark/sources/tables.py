@@ -31,8 +31,10 @@ def with_cell_prefix(features: DataFrame, zoom: int = DEFAULT_PREFIX_ZOOM) -> Da
     of bbox-overlap duplication; readers dedupe on (osm_id, src))."""
     from ..operators.tiles import with_tile_cells
 
-    # world at the prefix zoom has 4^zoom cells — no cap needed below z6
-    out = with_tile_cells(features, zoom, zoom, max_cells_per_zoom=4 ** zoom + 1)
+    # bbox cover (uncapped) is the RIGHT shape for an index partition:
+    # a conservative superset with planning-time pruning; readers
+    # dedupe on (osm_id, src)
+    out = with_tile_cells(features, zoom, zoom)
     return out.withColumnRenamed("cell", "cell_prefix")
 
 

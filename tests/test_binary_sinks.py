@@ -233,7 +233,8 @@ def test_export_materializes_real_binaries(spark, tmp_path_factory):
     docs = synth.synthesize(spark, n_nodes=1500, n_ways=400, n_rels=20)
     mapping = Mapping(MAPPING_YAML)
     out = str(tmp_path_factory.mktemp("binexp"))
-    payload = export(spark, docs, mapping, out, formats=("gpkg", "shp", "kml"))
+    payload = export(spark, docs, mapping, out, formats=("gpkg", "shp", "kml"),
+                     binary=True)
 
     gpkg = os.path.join(out, "gpkg", "export.gpkg")
     con = sqlite3.connect(gpkg)
@@ -324,7 +325,7 @@ def test_export_tiles_mbtiles_and_package(spark, tmp_path_factory):
     mapping = Mapping(MAPPING_YAML)
     out = str(tmp_path_factory.mktemp("mbt"))
     payload = export(spark, docs, mapping, out, formats=("gpkg", "tiles"),
-                     tile_zooms=(2, 6))
+                     tile_zooms=(2, 6), binary=True)
 
     mb = os.path.join(out, "tiles.mbtiles")
     con = sqlite3.connect(mb)

@@ -79,6 +79,15 @@ def test_export_all_formats(spark, docs, tmp_path_factory):
     assert set(tdf.columns) == {"z", "x", "y", "n_features", "osm_ids"}
     assert tdf.where((F.col("z") < 4) | (F.col("z") > 6)).count() == 0
 
+    # exact tile assignment never truncates — and the manifest says so
+    assert payload["metrics"]["tiles_capped_feature_zooms"] == 0
+
+    # binary single-file artifacts are OPT-IN: the default export is
+    # the distributed datasets only (no driver-side single-writer pass)
+    assert not os.path.exists(os.path.join(out, "gpkg", "export.gpkg"))
+    assert not os.path.exists(os.path.join(out, "tiles.mbtiles"))
+    assert all("binary" not in e for e in payload["entries"])
+
     # manifest file exists and matches payload
     with open(os.path.join(out, "manifest.json")) as f:
         on_disk = json.load(f)

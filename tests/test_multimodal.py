@@ -117,3 +117,35 @@ class TestRealCodecs:
         x = samples.astype(np.float64) / 32768.0
         assert abs(by_id[wav_id]["feat"][0] - float(np.sqrt(np.mean(x * x)))) < 1e-6
         assert rate == 16000
+
+
+def test_wav_content_sums_batch_matches_per_file():
+    """Vectorized batch summer == per-file real decode, including the
+    fallback for a non-canonical WAV (extra chunk before 'data')."""
+    import numpy as np
+
+    from osm_export_tool_python_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_content_sums_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    payloads = []
+    for i in range(17):
+        ns = int(rng.integers(1, 200))
+        samples = rng.integers(-32768, 32768, ns).astype(np.int16)
+        payloads.append(encode_wav(samples, sample_rate=8000 + i))
+    # non-canonical: junk chunk between fmt and data (still a valid WAV)
+    base = bytearray(payloads[3])
+    junk = b"LIST" + (4).to_bytes(4, "little") + b"ABCD"
+    odd = bytes(base[:36]) + junk + bytes(base[36:])
+    odd = bytearray(odd)
+    odd[4:8] = (len(odd) - 8).to_bytes(4, "little")  # fix RIFF size
+    payloads.append(bytes(odd))
+
+    got = wav_content_sums_batch(payloads)
+    want = np.array(
+        [int(decode_wav(p)[0].astype(np.int64).sum()) for p in payloads]
+    )
+    assert (got == want).all()

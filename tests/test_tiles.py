@@ -83,3 +83,156 @@ def test_salted_packing_equals_unsalted(spark):
     }
     assert a == b
     assert sum(v[0] for v in a.values()) == 600  # 200 pts × 3 zooms
+
+
+# ---------------------------------------------------------------------------
+# exact (intersection) assignment
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from osm_export_tool_python_spark.functions.cells import (  # noqa: E402
+    lonlat_to_tile,
+    tile_bounds,
+)
+from osm_export_tool_python_spark.functions.geomkernel import (  # noqa: E402
+    points_in_rings,
+    segment_intersects_rect,
+)
+from osm_export_tool_python_spark.operators.tiles import (  # noqa: E402
+    exact_cells_batch,
+    with_tile_cells_exact,
+)
+
+
+def _brute_tiles(geom_type, xs, ys, ring_offsets, z):
+    """O(bbox-tiles × edges) reference rasterizer built on the geometry
+    kernel's own primitives (independent of the traversal code)."""
+    n = 2**z
+    xs = np.asarray(xs, float)
+    ys = np.asarray(ys, float)
+    rings, segs = [], []
+    for i in range(len(ring_offsets) - 1):
+        a, b = ring_offsets[i], ring_offsets[i + 1]
+        pts = np.stack([xs[a:b], ys[a:b]], axis=1)
+        if geom_type == "polygon":
+            pts_c = pts if np.allclose(pts[0], pts[-1]) else np.vstack([pts, pts[0]])
+            rings.append(pts_c[:-1])
+            segs.extend((pts_c[j], pts_c[j + 1]) for j in range(len(pts_c) - 1))
+        else:
+            segs.extend((pts[j], pts[j + 1]) for j in range(len(pts) - 1))
+    tx, ty = lonlat_to_tile(xs, ys, z)
+    out = set()
+    for X in range(max(int(tx.min()) - 1, 0), min(int(tx.max()) + 1, n - 1) + 1):
+        for Y in range(max(int(ty.min()) - 1, 0), min(int(ty.max()) + 1, n - 1) + 1):
+            w, s, e, nn = (float(v) for v in tile_bounds(X, Y, z))
+            hit = any(
+                segment_intersects_rect(np.vstack([p, q]), (w, s, e, nn)).any()
+                for p, q in segs
+            )
+            if not hit and geom_type == "polygon" and rings:
+                c = np.array([[(w + e) / 2, (s + nn) / 2]])
+                hit = bool(points_in_rings(c, rings)[0])
+            if hit:
+                out.add((X, Y))
+    return out
+
+
+def test_exact_kernel_matches_bruteforce_fuzz():
+    rng = np.random.default_rng(23)
+    for trial in range(16):
+        z = int(rng.integers(3, 8))
+        kind = ["line", "polygon"][trial % 2]
+        if kind == "line":
+            npts = int(rng.integers(2, 6))
+            xs = rng.uniform(-170, 170, npts)
+            ys = rng.uniform(-70, 70, npts)
+            offs = [0, npts]
+        else:
+            nv = int(rng.integers(3, 8))
+            cx, cy = rng.uniform(-100, 100), rng.uniform(-50, 50)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(5, 40, nv)
+            xs = cx + rad * np.cos(ang)
+            ys = np.clip(cy + rad * np.sin(ang), -80, 80)
+            if trial % 4 == 1:  # half closed-way style, half relation style
+                xs = np.append(xs, xs[0])
+                ys = np.append(ys, ys[0])
+            offs = [0, len(xs)]
+        got = exact_cells_batch([kind], [xs], [ys], [offs], z, z)[0]
+        gz, gx, gy = cell_decode(got)
+        assert set(zip(gx.tolist(), gy.tolist())) == _brute_tiles(kind, xs, ys, offs, z)
+
+
+def test_exact_line_strict_subset_of_bbox_cover():
+    """A diagonal way's exact tile set is a STRICT subset of its bbox
+    cover — the intersection-semantics upgrade, measured."""
+    xs = np.array([-170.03, 150.41])
+    ys = np.array([-75.17, 70.23])
+    got = exact_cells_batch(["line"], [xs], [ys], [[0, 2]], 8, 8)[0]
+    _, gx, gy = cell_decode(got)
+    bbox_cover = (gx.max() - gx.min() + 1) * (gy.max() - gy.min() + 1)
+    assert len(got) > 256  # the old silent cap would have dropped it entirely
+    assert len(got) < bbox_cover / 10  # strict subset, and dramatically so
+
+
+def test_exact_donut_hole_interior_absent():
+    """Tiles fully inside a polygon's hole are NOT assigned; tiles on
+    the hole boundary are."""
+    outer_x = [-30.17, 50.37, 50.37, -30.17]
+    outer_y = [-40.23, -40.23, 45.11, 45.11]
+    hole_x = [-10.08, 25.19, 25.19, -10.08]
+    hole_y = [-20.13, -20.13, 30.07, 30.07]
+    xs = np.array(outer_x + hole_x)
+    ys = np.array(outer_y + hole_y)
+    got = exact_cells_batch(["polygon"], [xs], [ys], [[0, 4, 8]], 6, 6)[0]
+    _, gx, gy = cell_decode(got)
+    tiles = set(zip(gx.tolist(), gy.tolist()))
+    n = 64.0
+    hx0, hx1 = (np.array([-10.08, 25.19]) + 180.0) / 360.0 * n
+
+    def yf(lat):
+        return float((1 - np.arcsinh(np.tan(np.radians(lat))) / np.pi) / 2 * n)
+
+    hy0, hy1 = yf(30.07), yf(-20.13)
+    interior = {
+        (x, y)
+        for x in range(int(np.ceil(hx0)), int(np.floor(hx1)))
+        for y in range(int(np.ceil(hy0)), int(np.floor(hy1)))
+        if x + 1 <= np.floor(hx1) and y + 1 <= np.floor(hy1)
+    }
+    assert interior and not (tiles & interior)
+    # hole-boundary tiles present
+    assert (int(np.floor(hx0)), int(np.floor(hy0))) in tiles
+
+
+def test_with_tile_cells_exact_spark_roundtrip(spark):
+    """Spark-side exact assignment: points equal the bbox path (a
+    point's bbox IS its tile); a line feature matches the kernel."""
+    rows = [
+        _pt(1, 13.42, 52.51),
+        _line(2, [(-20.3, 10.1), (31.7, 44.9)]),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 5, 6).select("osm_id", "cell").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["osm_id"], set()).add(r["cell"])
+    pt_bbox = {
+        r["cell"]
+        for r in with_tile_cells(df.where(F.col("osm_id") == 1), 5, 6).collect()
+    }
+    assert by_id[1] == pt_bbox
+    want = set()
+    for z in (5, 6):
+        want |= set(
+            exact_cells_batch(
+                ["line"],
+                [np.array([-20.3, 31.7])],
+                [np.array([10.1, 44.9])],
+                [[0, 2]],
+                z,
+                z,
+            )[0].tolist()
+        )
+    assert by_id[2] == want
