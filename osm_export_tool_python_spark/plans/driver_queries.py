@@ -1676,8 +1676,10 @@ def q_osm_tile_table(spark, sf_dir):
     k = F.col("c_custkey")
     feats = c.select(
         k.cast("long").alias("osm_id"),
+        F.lit("point").alias("geom_type"),
         F.array(((k * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("xs"),
         F.array(((k * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("ys"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("ring_offsets"),
     )
     tf = tile_features(feats, 2, 5)
     return tf.select(

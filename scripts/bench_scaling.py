@@ -169,17 +169,23 @@ def stretch(reuse: bool = False):
                           STRETCH_DOCS_PATH)
         spark.stop()
 
-    out = subprocess.run(
-        ["taskset", "-c", "0-%d" % (STRETCH_CPUS - 1), sys.executable,
-         os.path.abspath(__file__), "--child", "jvm", str(STRETCH_CPUS),
-         STRETCH_DOCS_PATH, str(STRETCH_RUNS)],
-        capture_output=True, text=True, cwd=REPO, timeout=7200,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
-    if not line:
-        print(out.stdout[-2000:], out.stderr[-2000:])
-        raise SystemExit("stretch child failed")
-    r = json.loads(line[-1][len("CHILD_RESULT "):])
+    def run_pinned(cpus):
+        out = subprocess.run(
+            ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+             os.path.abspath(__file__), "--child", "jvm", str(cpus),
+             STRETCH_DOCS_PATH, str(STRETCH_RUNS)],
+            capture_output=True, text=True, cwd=REPO, timeout=7200,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            raise SystemExit("stretch child (%d cpus) failed" % cpus)
+        return json.loads(line[-1][len("CHILD_RESULT "):])
+
+    r = run_pinned(STRETCH_CPUS)
+    # round 4: a pinned local[32] point at the SAME 48.4M docs, so the
+    # 8->32 ratio is tracked at fixed input size round-over-round
+    r32 = run_pinned(32)
 
     (u_mx, u_med, u_n), (s_mx, s_med, s_n) = skew_stats(STRETCH_DOCS_PATH)
     rec = {
@@ -191,6 +197,17 @@ def stretch(reuse: bool = False):
         "features": r["features"],
         "tiles": r["tiles"],
         "features_per_sec": round(r["features"] / r["sec"], 1),
+        "local32_same_docs": {
+            "protocol": "pinned local[32], fresh JVM, untimed warmup, "
+                        "best-of-%d" % STRETCH_RUNS,
+            "cpus": 32,
+            "sec": r32["sec"],
+            "features": r32["features"],
+            "features_per_sec": round(r32["features"] / r32["sec"], 1),
+            "efficiency_8_to_32": round(
+                (r32["features"] / r32["sec"]) / (r["features"] / r["sec"]) / 4.0, 3
+            ),
+        },
         "skew": {
             "unsalted": {"keys": u_n, "max": u_mx, "median": u_med},
             "salted16": {"keys": s_n, "max": s_mx, "median": s_med},
