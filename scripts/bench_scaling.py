@@ -228,6 +228,15 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--stretch":
         stretch(reuse="--reuse" in sys.argv)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--report-only":
+        # re-render BENCH/BASELINE.md from the persisted level results
+        # (BENCH/scaling_results.json) + the CURRENT STRETCH.json — for
+        # when --stretch ran after the main table and the report's
+        # stretch section is stale
+        d = json.load(open(os.path.join(REPO, "BENCH", "scaling_results.json")))
+        results = {(r["mode"], r["cpus"]): r for r in d["results"]}
+        write_report(results, d["n_docs"], tuple(d["unsalted"]), tuple(d["salted"]))
+        return
     if len(sys.argv) > 2 and sys.argv[1] == "--reuse":
         DOCS_PATH = sys.argv[2]
         n_docs = N_NODES + N_WAYS + N_RELS
@@ -270,6 +279,17 @@ def main():
         print(results[(mode, cpus)])
 
     (u_mx, u_med, u_n), (s_mx, s_med, s_n) = skew_stats()
+    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+        json.dump(
+            {
+                "results": [r for r in results.values()],
+                "n_docs": n_docs,
+                "unsalted": [u_mx, u_med, u_n],
+                "salted": [s_mx, s_med, s_n],
+            },
+            f,
+            indent=1,
+        )
     write_report(results, n_docs, (u_mx, u_med, u_n), (s_mx, s_med, s_n))
 
 
@@ -389,6 +409,14 @@ the unsalted contents (verified in tests/test_tiles.py).
 `BENCH/STRETCH.json`; embedded in BENCH_r*.json as `stretch_2x_local8`).
 Skew at 2×: unsalted max {s["skew"]["unsalted"]["max"]:,} rows/key →
 salted16 max {s["skew"]["salted16"]["max"]:,}.
+"""
+        if "local32_same_docs" in s:
+            s32 = s["local32_same_docs"]
+            report += f"""
+Same {s["docs"]:,} documents at pinned local[32] (fixed-input 8→32
+tracking point): {s32["sec"]} s = {s32["features_per_sec"]:,} features/sec,
+8→32 efficiency {s32["efficiency_8_to_32"]:.3f} — the shared-JVM-heap
+ceiling documented above, tracked round-over-round at constant input.
 """
         if ("jvm", s["cpus"]) in results:
             base = results[("jvm", s["cpus"])]

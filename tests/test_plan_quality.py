@@ -174,3 +174,23 @@ def test_relation_assembly_single_python_stage(spark):
     # way⋈node and members⋈coords joins shuffle on their keys, never a
     # cross product
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_tile_assignment_single_pass(spark):
+    """with_tile_cells_exact is ONE pass over the feature frame: no
+    Union (the thin/fat routing is a lazy CASE expression, not a
+    two-branch scan), exactly one Arrow Python stage (the supercover
+    kernel, fed NULLs for thin rows), and no row-at-a-time Python."""
+    from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
+    from osm_export_tool_python_spark.operators.tiles import with_tile_cells_exact
+
+    rows = [
+        (1, "node", "point", {"a": "1"}, [13.4], [52.5], [0, 1], [0, 1]),
+        (2, "way", "line", {"a": "1"}, [-20.3, 31.7], [10.1, 44.9], [0, 2], [0, 1]),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 4, 6)
+    plan = _plan(out)
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized only
+    assert plan.count("ArrowEvalPython") == 1

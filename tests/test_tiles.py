@@ -236,3 +236,34 @@ def test_with_tile_cells_exact_spark_roundtrip(spark):
             )[0].tolist()
         )
     assert by_id[2] == want
+
+
+def test_exact_kernel_donut_fuzz():
+    """Randomized outer+hole polygons (relation-style unclosed rings)
+    against the brute-force rasterizer — holes via even-odd."""
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        z = int(rng.integers(4, 7))
+        cx, cy = rng.uniform(-90, 90), rng.uniform(-45, 45)
+        w, h = rng.uniform(15, 40), rng.uniform(15, 40)
+        outer = np.array(
+            [[cx - w, cy - h], [cx + w, cy - h], [cx + w, cy + h], [cx - w, cy + h]]
+        )
+        hw, hh = w * rng.uniform(0.2, 0.6), h * rng.uniform(0.2, 0.6)
+        ox, oy = rng.uniform(-0.3, 0.3) * w, rng.uniform(-0.3, 0.3) * h
+        hole = np.array(
+            [
+                [cx + ox - hw, cy + oy - hh],
+                [cx + ox + hw, cy + oy - hh],
+                [cx + ox + hw, cy + oy + hh],
+                [cx + ox - hw, cy + oy + hh],
+            ]
+        )
+        xs = np.concatenate([outer[:, 0], hole[:, 0]])
+        ys = np.clip(np.concatenate([outer[:, 1], hole[:, 1]]), -80, 80)
+        offs = [0, 4, 8]
+        got = exact_cells_batch(["polygon"], [xs], [ys], [offs], z, z)[0]
+        _, gx, gy = cell_decode(got)
+        assert set(zip(gx.tolist(), gy.tolist())) == _brute_tiles(
+            "polygon", xs, ys, offs, z
+        )
