@@ -339,9 +339,16 @@ def wav_content_sums_batch(payloads):
             return (hdrs[:, off : off + len(s)] == want).all(axis=1)
 
         dsz = hdrs[:, 40:44].copy().view("<u4")[:, 0].astype(np.int64)
+        fmtsz = hdrs[:, 16:20].copy().view("<u4")[:, 0].astype(np.int64)
         ok = (
             tag(0, b"RIFF")
             & tag(8, b"WAVEfmt ")
+            & (fmtsz == 16)  # canonical fmt chunk — an extended fmt
+            # chunk (size > 16) shifts the data chunk past offset 36,
+            # so without this check extension bytes spelling 'data'
+            # could masquerade as the data header
+            & (hdrs[:, 20] == 1)  # PCM format code
+            & (hdrs[:, 21] == 0)
             & tag(36, b"data")
             & (hdrs[:, 34] == 16)  # bits
             & (hdrs[:, 35] == 0)

@@ -366,6 +366,14 @@ def exact_cells_batch(
     lon1, lat1 = flat_x[s1], flat_y[s1]
     poly_seg = is_poly[seg_feat]
 
+    # fallback coverage: the first point of every NONEMPTY ring/part
+    # (not just each feature's first point) — a degenerate 1-point
+    # part generates no segment, so without this a single-point ring
+    # after the first would silently vanish from the tile table
+    ring_nonempty = ring_b > ring_a
+    fpt = ring_a[ring_nonempty]
+    fpt_feat = ring_feat[ring_nonempty]
+
     out_feat, out_cell = [], []
     for z in range(min_zoom, max_zoom + 1):
         n = float(2**z)
@@ -375,15 +383,14 @@ def exact_cells_batch(
         out_cell.append(
             cell_from_zxy(z, tx.astype(np.uint64), ty.astype(np.uint64)).astype(np.int64)
         )
-        # first-point tile per nonempty feature (1-point/degenerate rows)
-        fp = np.nonzero(lens > 0)[0]
+        # first-point tile per nonempty ring (1-point/degenerate parts)
         px = np.clip(
-            np.floor((flat_x[starts[fp]] + 180.0) / 360.0 * n), 0, nmax
+            np.floor((flat_x[fpt] + 180.0) / 360.0 * n), 0, nmax
         ).astype(np.uint64)
-        py = np.clip(np.floor(_merc_yf(flat_y[starts[fp]], n)), 0, nmax).astype(
+        py = np.clip(np.floor(_merc_yf(flat_y[fpt], n)), 0, nmax).astype(
             np.uint64
         )
-        out_feat.append(fp)
+        out_feat.append(fpt_feat)
         out_cell.append(cell_from_zxy(z, px, py).astype(np.int64))
         if poly_seg.any():
             f, kx, ky = _polygon_fill(
@@ -426,9 +433,6 @@ def exact_cells_udf(min_zoom: int, max_zoom: int):
     """pandas_udf (geom_type, xs, ys, ring_offsets) → array<long> of
     exact-intersection tile cells across the zoom range.  One Arrow
     batch per call; the kernel is flat numpy (no per-feature Python)."""
-    import pandas as pd
-
-    globals()["pd"] = pd
     from pyspark.sql.functions import pandas_udf
 
     empty = np.empty(0, dtype=np.float64)

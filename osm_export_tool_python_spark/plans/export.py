@@ -20,7 +20,7 @@ from pyspark import StorageLevel
 from ..operators import assemble
 from ..operators.clip import AOI, clip_features
 from ..operators.themes import prefilter, theme_fanout, theme_output
-from ..operators.tiles import tile_features
+from ..operators.tiles import bbox_fanout_over_cap, tile_features
 from ..sources import decode
 from .manifest import ExportManifest
 from .sinks import launder_name, make_filename, wkt_column, kml_geometry_column
@@ -292,13 +292,18 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True):
     # many themes packs once per tile, like the reference's mbtiles
     # which is theme-independent raster fetch)
     uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
-    # intersection-exact assignment (tile_features exact=True default):
-    # fanout is O(tiles the geometry touches), no cap, nothing dropped
-    # — the metric records that invariant loudly in the manifest (a
-    # capped bbox path would have to count its drops here instead,
-    # operators/tiles.bbox_fanout_over_cap)
-    manifest.add_metric("tiles_capped_feature_zooms", 0)
-    tf = tile_features(uniq, zooms[0], zooms[1])
+    # the drop metric is DERIVED from the assignment mode so it can
+    # never silently report 0 for a path that actually truncates:
+    # intersection-exact assignment has no cap (fanout is O(tiles the
+    # geometry touches)) so 0 holds by construction of that branch;
+    # the bbox fallback must count its over-cap (feature, zoom) drops
+    exact = True
+    manifest.add_metric(
+        "tiles_capped_feature_zooms",
+        0 if exact
+        else bbox_fanout_over_cap(uniq, zooms[0], zooms[1]).count(),
+    )
+    tf = tile_features(uniq, zooms[0], zooms[1], exact=exact)
     # partition count from cluster parallelism — tf.rdd.getNumPartitions()
     # would force plan materialization and bypass AQE just to pick a number
     n_out = max(spark.sparkContext.defaultParallelism // 2, 1)

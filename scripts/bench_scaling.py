@@ -184,8 +184,16 @@ def stretch(reuse: bool = False):
 
     r = run_pinned(STRETCH_CPUS)
     # round 4: a pinned local[32] point at the SAME 48.4M docs, so the
-    # 8->32 ratio is tracked at fixed input size round-over-round
-    r32 = run_pinned(32)
+    # 8->32 ratio is tracked at fixed input size round-over-round.
+    # Skipped (not fatal) on hosts with <32 CPUs — the expensive
+    # STRETCH_CPUS measurement above must survive either way.
+    r32 = None
+    if (os.cpu_count() or 0) >= 32:
+        try:
+            r32 = run_pinned(32)
+        except SystemExit as e:
+            print("WARN: local[32] tracking point failed (%s); "
+                  "recording the %d-cpu stretch alone" % (e, STRETCH_CPUS))
 
     (u_mx, u_med, u_n), (s_mx, s_med, s_n) = skew_stats(STRETCH_DOCS_PATH)
     rec = {
@@ -197,7 +205,13 @@ def stretch(reuse: bool = False):
         "features": r["features"],
         "tiles": r["tiles"],
         "features_per_sec": round(r["features"] / r["sec"], 1),
-        "local32_same_docs": {
+        "skew": {
+            "unsalted": {"keys": u_n, "max": u_mx, "median": u_med},
+            "salted16": {"keys": s_n, "max": s_mx, "median": s_med},
+        },
+    }
+    if r32 is not None:
+        rec["local32_same_docs"] = {
             "protocol": "pinned local[32], fresh JVM, untimed warmup, "
                         "best-of-%d" % STRETCH_RUNS,
             "cpus": 32,
@@ -207,12 +221,7 @@ def stretch(reuse: bool = False):
             "efficiency_8_to_32": round(
                 (r32["features"] / r32["sec"]) / (r["features"] / r["sec"]) / 4.0, 3
             ),
-        },
-        "skew": {
-            "unsalted": {"keys": u_n, "max": u_mx, "median": u_med},
-            "salted16": {"keys": s_n, "max": s_mx, "median": s_med},
-        },
-    }
+        }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "STRETCH.json"), "w") as f:
         json.dump(rec, f, indent=1)

@@ -284,3 +284,21 @@ def test_bbox_fanout_over_cap_reports_drops(spark):
     assert all(r["osm_id"] == 2 for r in over)
     z8 = [r for r in over if r["z"] == 8]
     assert len(z8) == 1 and z8[0]["n_cells"] > 10000
+
+
+def test_exact_kernel_single_point_trailing_part():
+    """A degenerate 1-point part AFTER the first ring generates no
+    segments; its tile must still be covered (per-ring first-point
+    fallback, not just per-feature)."""
+    out = exact_cells_batch(
+        ["line"], [[0.1, 0.2, 50.0]], [[0.1, 0.2, 50.0]], [[0, 2, 3]], 6, 6
+    )
+    _, gx, gy = cell_decode(out[0])
+    got = set(zip(gx.tolist(), gy.tolist()))
+    px, py = lonlat_to_tile(np.array([50.0]), np.array([50.0]), 6)
+    assert (int(px[0]), int(py[0])) in got
+    # and an empty trailing feature stays safely empty
+    out2 = exact_cells_batch(
+        ["line", "point"], [[0.0, 1.0], []], [[0.0, 1.0], []], [None, None], 4, 4
+    )
+    assert len(out2[1]) == 0 and len(out2[0]) > 0
