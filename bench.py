@@ -47,7 +47,19 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path):
 
 
 def osm_pipeline_counts(spark, docs_path):
-    """The timed headline pipeline; returns (features, tiles) counts."""
+    """The timed headline pipeline; returns (features, tiles) counts.
+
+    Lineage-truncation shape (`checkpoint=True` + localCheckpoint of
+    the themed frame): each materialized intermediate becomes a flat
+    LogicalRDD scan, so the count and tile actions don't re-run
+    Catalyst over the deep decode/join/union tree — measured ~2x
+    end-to-end at this batch size, with far lower variance (see
+    osm_export_tool_python_spark/lineage.py for the trade-off).  The
+    tile stage repartitions by feature key BEFORE dropDuplicates: the
+    dedup then reuses that exchange, and the exact-tile kernel runs at
+    full parallelism instead of on the 1-2 AQE-coalesced post-shuffle
+    partitions a small batch collapses to."""
+    from osm_export_tool_python_spark import lineage
     from osm_export_tool_python_spark.functions.mapping import Mapping
     from osm_export_tool_python_spark.operators import assemble
     from osm_export_tool_python_spark.operators.clip import AOI, clip_features
@@ -57,21 +69,21 @@ def osm_pipeline_counts(spark, docs_path):
 
     mapping = Mapping(BENCH_MAPPING)
     docs = spark.read.parquet(docs_path)
-    feats = assemble.assemble_features(
-        decode.with_entity_meta(docs), persist_intermediate=True
-    )
+    feats = assemble.assemble_features(decode.with_entity_meta(docs), checkpoint=True)
     filtered = prefilter(feats, mapping)
     filtered._persisted_intermediates = feats._persisted_intermediates
     aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
-    clipped = clip_features(filtered, aoi, persist=True)
-    themed = theme_fanout(clipped, mapping).persist()
+    clipped = clip_features(filtered, aoi, checkpoint=True)
+    themed = lineage.eager_local_checkpoint(theme_fanout(clipped, mapping))
     try:
         n_features = themed.count()
-        n_tiles = tile_counts(themed.dropDuplicates(["osm_id", "src"]), 2, 8).count()
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        deduped = themed.repartition(nparts, "osm_id", "src").dropDuplicates(
+            ["osm_id", "src"]
+        )
+        n_tiles = tile_counts(deduped, 2, 8).count()
     finally:
-        themed.unpersist()
-        for df in feats._persisted_intermediates:
-            df.unpersist()
+        lineage.release(themed, *feats._persisted_intermediates)
     return n_features, n_tiles
 
 
@@ -109,6 +121,36 @@ def bench_queries(spark, sf_dir, scale):
         "ann_top10": q_ann,
         "knn_cell_join": lambda: dq.q_knn_cell_join(spark, sf_dir).count(),
         "tile_counts_z8": lambda: dq.q_tile_counts_z8(spark, sf_dir).count(),
+    }
+
+
+def vm_probe(cpus):
+    """Deterministic CPU probes (single-thread + all-core) recorded in
+    the output JSON: this VM's run-to-run and round-to-round speed
+    drifts by up to ~1.6x under hypervisor/THP load, so absolute walls
+    across rounds are only comparable after dividing by the probe
+    ratio.  Same work every call; no RNG, no IO."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    def sha_work(iters):
+        h = b"\x00" * 65536
+        for _ in range(iters):
+            h = hashlib.sha256(h).digest() * 2048  # 64 KiB again
+        return h[0]
+
+    t0 = time.perf_counter()
+    sha_work(4000)
+    t1 = time.perf_counter()
+    # hashlib releases the GIL on large buffers, so threads scale;
+    # quarter work per thread keeps the probe cheap even on a machine
+    # that is (exactly what the probe detects) already loaded
+    with ThreadPoolExecutor(cpus) as ex:
+        list(ex.map(sha_work, [1000] * cpus))
+    t2 = time.perf_counter()
+    return {
+        "sha_1t_sec": round(t1 - t0, 3),
+        "sha_allcore_qwork_sec": round(t2 - t1, 3),
     }
 
 
@@ -156,6 +198,10 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # divide cross-round walls by the probe ratio before comparing:
+        # the VM's effective speed moves round-to-round (hypervisor
+        # neighbors, THP compaction)
+        "vm_probe": vm_probe(cpus),
     }
     # round-over-round stability point: the 2x-docs pinned-local[8]
     # stretch run recorded by `scripts/bench_scaling.py --stretch`

@@ -326,7 +326,11 @@ def assembly_dropout_metrics(docs_meta: DataFrame) -> dict:
     }
 
 
-def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) -> DataFrame:
+def assemble_features(
+    docs_meta: DataFrame,
+    persist_intermediate: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
     """Full assembly: documents-with-meta → unified feature frame.
 
     The relation path additionally requires polygon routing on tags
@@ -338,13 +342,25 @@ def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) 
     frame — the wide `spans` column is then scanned ONCE instead of
     once per entity table — and (b) the assembled way coordinates,
     which feed three downstream branches (lines, closed-way polygons,
-    relation members).  Caller owns unpersisting (the frame is tagged
-    `_persisted_intermediates`)."""
+    relation members).  Caller owns releasing (the frame is tagged
+    `_persisted_intermediates`; free with `lineage.release`).
+
+    `checkpoint=True` materializes those same intermediates via
+    `localCheckpoint` instead of `persist` — the downstream plans then
+    scan a flat LogicalRDD, which removes the per-action Catalyst
+    re-optimization of the deep decode/join tree (measured ~2x on the
+    small-batch export benchmark, see `lineage` module docstring for
+    the fault-tolerance trade-off that keeps plain persist the
+    cluster-scale default)."""
     from ..sources import decode
+    from .. import lineage
 
     persisted = []
     entities = decode.entities_table(docs_meta)
-    if persist_intermediate:
+    if checkpoint:
+        entities = lineage.eager_local_checkpoint(entities)
+        persisted.append(entities)
+    elif persist_intermediate:
         # persist AND materialize eagerly: the downstream union has four
         # branches whose stages run CONCURRENTLY inside one action — on
         # a cold cache each branch races to fill it and recomputes the
@@ -359,7 +375,10 @@ def assemble_features(docs_meta: DataFrame, persist_intermediate: bool = False) 
     members = decode.rel_members_from_entities(entities)
 
     wcoords = way_coords(way_refs, nodes, ways)
-    if persist_intermediate:
+    if checkpoint:
+        wcoords = lineage.eager_local_checkpoint(wcoords)
+        persisted.append(wcoords)
+    elif persist_intermediate:
         # same race: lines / closed-way polygons / relation members all
         # branch off wcoords
         wcoords = wcoords.persist()

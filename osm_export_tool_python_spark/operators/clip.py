@@ -287,7 +287,9 @@ def _exact_batch(pdf, rings, clip_polys):
     return kept
 
 
-def clip_features(features: DataFrame, aoi: AOI, persist: bool = False) -> DataFrame:
+def clip_features(
+    features: DataFrame, aoi: AOI, persist: bool = False, checkpoint: bool = False
+) -> DataFrame:
     """The full clip operator.  Narrow (no shuffle): classify + exact
     kernel are both vectorized maps with the AOI broadcast.
 
@@ -296,7 +298,10 @@ def clip_features(features: DataFrame, aoi: AOI, persist: bool = False) -> DataF
     concurrently inside the next action, and on a cold cache each one
     recomputes the whole upstream (incl. the classify UDF) itself.
     The cache is appended to the input's ``_persisted_intermediates``
-    list (shared object) so the pipeline owner unpersists everything."""
+    list (shared object) so the pipeline owner unpersists everything.
+    ``checkpoint=True`` materializes via localCheckpoint instead —
+    same single-compute guarantee, plus downstream actions plan over a
+    flat LogicalRDD (see `lineage` module for the trade-off)."""
     spark = features.sparkSession
     sc = spark.sparkContext
     b_aoi = sc.broadcast(
@@ -341,7 +346,12 @@ def clip_features(features: DataFrame, aoi: AOI, persist: bool = False) -> DataF
         cls = F.when(disjoint, "o").otherwise(classify(xmin, ymin, xmax, ymax))
     with_cls = features.withColumn("__clip", cls)
     persisted = getattr(features, "_persisted_intermediates", [])
-    if persist:
+    if checkpoint:
+        from .. import lineage
+
+        with_cls = lineage.eager_local_checkpoint(with_cls)
+        persisted.append(with_cls)
+    elif persist:
         with_cls = with_cls.persist()
         with_cls.count()
         persisted.append(with_cls)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
+from .. import lineage
 from ..operators import assemble
 from ..operators.clip import AOI, clip_features
 from ..operators.themes import prefilter, theme_fanout, theme_output
@@ -89,6 +90,7 @@ def export(
     resume: bool = True,
     dropout_metrics: bool = False,
     binary: bool = False,
+    checkpoint: bool = False,
 ) -> dict:
     """Run a themed export; returns the manifest payload.
 
@@ -104,7 +106,17 @@ def export(
     OPT-IN (default False) because that last mile funnels every
     feature through the driver: the distributed parquet datasets are
     the primary artifact at scale, and the CLI's --binary flag
-    requests the single-file outputs when a consumer needs them."""
+    requests the single-file outputs when a consumer needs them.
+
+    `checkpoint=True` materializes the pipeline's intermediates via
+    localCheckpoint instead of persist: downstream actions then plan
+    against flat LogicalRDD scans instead of re-optimizing the deep
+    decode/join tree per action — ~2x end-to-end on small/interactive
+    batches where driver-side planning dominates.  Default OFF: a
+    localCheckpoint truncates lineage (executor loss becomes job
+    failure, and the raw-row storage footprint exceeds the columnar
+    cache), which is the wrong trade at long-running cluster scale —
+    see osm_export_tool_python_spark/lineage.py."""
     manifest = ExportManifest(out_dir)
     if resume:
         manifest.load_done_entries()
@@ -117,19 +129,23 @@ def export(
     # each feed several concurrently-scheduled union branches — without
     # an eagerly-materialized cache every branch recomputes the whole
     # decode scan (measured 4x duplicate work at 24M docs)
-    feats = assemble.assemble_features(meta, persist_intermediate=True)
+    feats = assemble.assemble_features(
+        meta, persist_intermediate=True, checkpoint=checkpoint
+    )
     intermediates = feats._persisted_intermediates
     feats = prefilter(feats, mapping)
     feats._persisted_intermediates = intermediates
 
     if aoi_rings is not None:
         aoi = AOI(aoi_rings)
-        feats = clip_features(feats, aoi, persist=True)
+        feats = clip_features(feats, aoi, persist=True, checkpoint=checkpoint)
         intermediates = feats._persisted_intermediates
 
-    themed = theme_fanout(feats, mapping).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    themed = theme_fanout(feats, mapping)
+    if checkpoint:
+        themed = lineage.eager_local_checkpoint(themed)
+    else:
+        themed = themed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         manifest.add_metric("themed_features", themed.count())
 
@@ -151,9 +167,7 @@ def export(
                 "rows/%s/%s" % (r["theme"], r["geom_type"]), r["n"]
             )
     finally:
-        themed.unpersist()
-        for df in intermediates:
-            df.unpersist()
+        lineage.release(themed, *intermediates)
     return manifest.write()
 
 

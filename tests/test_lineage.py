@@ -1,0 +1,99 @@
+"""Lineage-truncation helpers (lineage.py) + the checkpoint= variants
+of assemble/clip/export: the checkpointed pipeline must produce
+byte-identical results to the persisted one, and `release` must free
+the checkpointed RDD storage (a plain DataFrame.unpersist() no-ops on
+a localCheckpoint, which would leak its partitions session-long)."""
+
+import numpy as np
+import pytest
+
+from osm_export_tool_python_spark import lineage
+
+
+def _n_cached_rdds(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_eager_checkpoint_roundtrip_and_release(spark):
+    df = spark.range(1000).selectExpr("id", "id * 2 AS b")
+    before = _n_cached_rdds(spark)
+    lc = lineage.eager_local_checkpoint(df)
+    assert _n_cached_rdds(spark) == before + 1
+    assert lc.count() == 1000
+    assert [r["b"] for r in lc.orderBy("id").limit(3).collect()] == [0, 2, 4]
+    # plan is flat: no Range node remains after truncation
+    assert "Range" not in lc._jdf.queryExecution().analyzed().toString()
+    lineage.release(lc)
+    assert _n_cached_rdds(spark) == before
+
+
+def test_release_tolerates_plain_and_none(spark):
+    df = spark.range(10).persist()
+    df.count()
+    lineage.release(None, df, spark.range(5))  # none of these may raise
+    assert df.storageLevel.useMemory is False
+
+
+def test_assemble_checkpoint_matches_persist(spark):
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    docs = decode.with_entity_meta(
+        synth.synthesize(spark, n_nodes=400, n_ways=120, n_rels=12)
+    )
+    persisted = assemble.assemble_features(docs, persist_intermediate=True)
+    ckpt = assemble.assemble_features(docs, checkpoint=True)
+    cols = ["src", "osm_id", "geom_type", "xs", "ys"]
+    a = sorted(map(repr, persisted.select(*cols).collect()))
+    b = sorted(map(repr, ckpt.select(*cols).collect()))
+    assert a == b
+    before = _n_cached_rdds(spark)
+    lineage.release(
+        *persisted._persisted_intermediates, *ckpt._persisted_intermediates
+    )
+    assert _n_cached_rdds(spark) <= before - len(ckpt._persisted_intermediates)
+
+
+def test_clip_checkpoint_matches_persist(spark):
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.operators.clip import AOI, clip_features
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    docs = decode.with_entity_meta(
+        synth.synthesize(spark, n_nodes=400, n_ways=120, n_rels=12)
+    )
+    feats = assemble.assemble_features(docs)
+    aoi = AOI([np.array([[-5.0, -5.0], [20.0, -5.0], [20.0, 30.0], [-5.0, 30.0]])])
+    a = clip_features(feats, aoi, persist=True)
+    b = clip_features(feats, aoi, checkpoint=True)
+    cols = ["src", "osm_id", "geom_type", "xs", "ys"]
+    ra = sorted(map(repr, a.select(*cols).collect()))
+    rb = sorted(map(repr, b.select(*cols).collect()))
+    assert ra == rb and len(ra) > 0
+    lineage.release(*a._persisted_intermediates, *b._persisted_intermediates)
+
+
+def test_export_checkpoint_same_manifest_metrics(spark, tmp_path):
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.plans.export import export
+    from osm_export_tool_python_spark.sources import synth
+
+    mapping = Mapping(
+        "all_points:\n  types: [points]\n  select: [name]\n"
+        "roads:\n  types: [lines]\n  select: [highway]\n"
+        "  where: highway IS NOT NULL\n"
+    )
+    docs = synth.synthesize(spark, n_nodes=300, n_ways=80, n_rels=8)
+    m1 = export(spark, docs, mapping, str(tmp_path / "persist"), formats=("gpkg",))
+    m2 = export(
+        spark,
+        docs,
+        mapping,
+        str(tmp_path / "ckpt"),
+        formats=("gpkg",),
+        checkpoint=True,
+    )
+    k1 = {k: v for k, v in m1["metrics"].items() if not k.startswith("file")}
+    k2 = {k: v for k, v in m2["metrics"].items() if not k.startswith("file")}
+    assert k1 == k2
+    assert k1["themed_features"] > 0
