@@ -69,7 +69,13 @@ def minhash_signature_table(
     groupBy-min.  The shingle expression evaluates ONCE per doc (the
     naive array-of-array_min form re-evaluates it n_hashes times and
     falls out of codegen); the min-agg combines map-side, so the
-    shuffle carries one row per doc."""
+    shuffle carries one row per doc.  Small inputs are fanned out BY
+    THE ID before the explode (see `parallel.fan_out`): the heavy
+    shingle/hash map then runs at full width, and the groupBy reuses
+    that hash exchange instead of adding one."""
+    from ..parallel import fan_out
+
+    df = fan_out(df, id_col)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
     )
@@ -122,6 +128,9 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold."""
+    from ..parallel import fan_out
+
+    df = fan_out(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
@@ -201,7 +210,10 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by simhash: block the 64-bit hash into n_blocks
     16-bit keys; a pair within hamming ≤ n_blocks-1 must agree on ≥1
     block (pigeonhole) — join per block, verify exact hamming."""
+    from ..parallel import fan_out
+
     bits = 64 // n_blocks
+    df = fan_out(df, id_col)
     h = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
     blocked = h.select(
         "id",
@@ -589,6 +601,9 @@ def contamination_check(
     corpus (eval suites are MBs) and is BROADCAST, so the training
     side is one narrow explode + broadcast semi-join + map-side-combine
     count per doc — no shuffle of corpus data on the shingle key."""
+    from ..parallel import fan_out
+
+    train = fan_out(train, id_col)
     t = train.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),

@@ -32,9 +32,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, vec_id, cosine, rank): exact top-k by cosine.
     `queries` must be small (it is broadcast)."""
+    from ..parallel import fan_out
+
     qid = query_id_col or id_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    v = fan_out(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    )
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("vec_id"))

@@ -1,0 +1,34 @@
+"""Small-input parallelism guard.
+
+A tiny parquet table (one small file) arrives as a single scan
+partition, so any CPU-heavy narrow map over it — shingle explosion,
+64-term simhash bit math, cosine scoring — serializes onto one core no
+matter how many the session has: the 5k-doc bench corpus spent 3.3 s
+single-threaded in the shingle/hash map (0.4 s once spread).
+
+``fan_out`` repartitions ONLY when the frame has fewer partitions than
+the session's shuffle parallelism; at cluster scale the scan already
+has more partitions than that, so the guard is a no-op and the shape
+stays shuffle-minimal (the pre-shuffle would move full text/vector
+rows, which costs more than the map-side-combined aggregates it could
+replace).  When key columns are given the repartition is a hash
+exchange on them with an EXPLICIT partition count — AQE does not
+coalesce user-specified counts, so the fan-out survives its
+bytes-based advisory sizing — and a downstream groupBy/join on the
+same keys reuses it instead of adding a second exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a small frame across the session's full parallelism;
+    no-op when the input already has at least that many partitions."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if key_cols:
+        return df.repartition(n, *key_cols)
+    return df.repartition(n)

@@ -1,0 +1,51 @@
+"""parallel.fan_out: the small-input parallelism guard must (a) widen
+a single-partition frame to the session's shuffle parallelism, (b)
+no-op on an already-wide frame (so the at-scale shuffle shape is
+untouched), and (c) when keyed, produce an exchange the downstream
+groupBy on the same key REUSES — one exchange total, not two."""
+
+from pyspark.sql import functions as F
+
+from osm_export_tool_python_spark.parallel import fan_out
+
+
+def _nparts(spark):
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_fan_out_widens_narrow_frame(spark):
+    df = spark.range(1000).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    wide = fan_out(df)
+    assert wide.rdd.getNumPartitions() == _nparts(spark)
+    assert wide.count() == 1000
+
+
+def test_fan_out_noop_when_already_wide(spark):
+    n = _nparts(spark)
+    df = spark.range(1000).repartition(n + 4)
+    assert fan_out(df) is df
+
+
+def test_keyed_fan_out_single_exchange_for_groupby(spark):
+    df = spark.range(2000).coalesce(1).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    agg = fan_out(df, "k").groupBy("k").agg(F.min("v").alias("mv"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # values identical to the unguarded aggregation
+    base = df.groupBy("k").agg(F.min("v").alias("mv"))
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_minhash_signatures_unchanged_by_fan_out(spark):
+    # signatures are per-row deterministic: partitioning must not
+    # change them
+    rows = [(i, "alpha beta gamma delta epsilon zeta %d" % (i % 7)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from osm_export_tool_python_spark.operators.dedup import minhash_signature_table
+
+    narrow = minhash_signature_table(docs.coalesce(1))
+    wide = minhash_signature_table(docs.repartition(8))
+    assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, wide.collect()))
