@@ -73,7 +73,11 @@ def osm_pipeline_counts(spark, docs_path):
     filtered = prefilter(feats, mapping)
     filtered._persisted_intermediates = feats._persisted_intermediates
     aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
-    clipped = clip_features(filtered, aoi, checkpoint=True)
+    # the clip output is consumed exactly once (by the themed
+    # materialization below), so materializing it separately is a pure
+    # extra write+read pass over the feature set — measured ~1 s at
+    # this batch size with identical outputs
+    clipped = clip_features(filtered, aoi)
     themed = lineage.eager_local_checkpoint(theme_fanout(clipped, mapping))
     try:
         n_features = themed.count()
@@ -124,33 +128,43 @@ def bench_queries(spark, sf_dir, scale):
     }
 
 
+def _sha_work(iters):
+    # module-level so ProcessPoolExecutor can pickle it
+    import hashlib
+
+    h = b"\x00" * 65536
+    for _ in range(iters):
+        h = hashlib.sha256(h).digest() * 2048  # 64 KiB again
+    return h[0]
+
+
 def vm_probe(cpus):
     """Deterministic CPU probes (single-thread + all-core) recorded in
     the output JSON: this VM's run-to-run and round-to-round speed
     drifts by up to ~1.6x under hypervisor/THP load, so absolute walls
     across rounds are only comparable after dividing by the probe
     ratio.  Same work every call; no RNG, no IO."""
-    import hashlib
-    from concurrent.futures import ThreadPoolExecutor
-
-    def sha_work(iters):
-        h = b"\x00" * 65536
-        for _ in range(iters):
-            h = hashlib.sha256(h).digest() * 2048  # 64 KiB again
-        return h[0]
-
     t0 = time.perf_counter()
-    sha_work(4000)
+    _sha_work(4000)
     t1 = time.perf_counter()
-    # hashlib releases the GIL on large buffers, so threads scale;
-    # quarter work per thread keeps the probe cheap even on a machine
-    # that is (exactly what the probe detects) already loaded
-    with ThreadPoolExecutor(cpus) as ex:
-        list(ex.map(sha_work, [1000] * cpus))
-    t2 = time.perf_counter()
+    # PROCESSES, not threads: even though hashlib releases the GIL on
+    # large buffers, 32 hashing threads in one interpreter measured
+    # 10-50x off ideal (allocator/GIL handoff thrash), which made the
+    # all-core figure track interpreter contention instead of machine
+    # load.  Forked workers with quarter work each keep the probe
+    # cheap; ideal wall = sha_1t/4.
+    from concurrent.futures import ProcessPoolExecutor
+
+    try:
+        with ProcessPoolExecutor(cpus) as ex:
+            list(ex.map(_sha_work, [1000] * cpus))
+        t2 = time.perf_counter()
+        allcore = round(t2 - t1, 3)
+    except Exception:
+        allcore = None
     return {
         "sha_1t_sec": round(t1 - t0, 3),
-        "sha_allcore_qwork_sec": round(t2 - t1, 3),
+        "sha_allcore_qwork_sec": allcore,
     }
 
 

@@ -137,9 +137,13 @@ def export(
     feats._persisted_intermediates = intermediates
 
     if aoi_rings is not None:
+        # NOT materialized: the clip output has exactly one consumer —
+        # the themed materialization below — so a persist/checkpoint
+        # here is a pure extra write+read pass over the feature set
+        # (A/B at 24M docs: identical outputs, strictly slower)
         aoi = AOI(aoi_rings)
-        feats = clip_features(feats, aoi, persist=True, checkpoint=checkpoint)
-        intermediates = feats._persisted_intermediates
+        feats = clip_features(feats, aoi)
+        feats._persisted_intermediates = intermediates
 
     themed = theme_fanout(feats, mapping)
     if checkpoint:
