@@ -41,6 +41,14 @@ def main(argv=None):
         "writer pass over every feature, so opt-in at scale",
     )
     parser.add_argument(
+        "--checkpoint", action="store_true",
+        help="materialize pipeline intermediates via lineage-truncating "
+        "localCheckpoint instead of persist — faster on latency-bound "
+        "batches (downstream actions plan over flat scans) but trades "
+        "away lineage-based fault recovery, so keep the default on "
+        "long-running clusters",
+    )
+    parser.add_argument(
         "--metrics", action="store_true",
         help="also record assembly dropout metrics (incomplete ways / invalid relations)",
     )
@@ -95,6 +103,7 @@ def main(argv=None):
         resume=not parsed.no_resume,
         dropout_metrics=parsed.metrics,
         binary=parsed.binary,
+        checkpoint=parsed.checkpoint,
     )
     print("Completed in {0} seconds.".format(round(time.time() - start, 1)))
     for entry in manifest["entries"]:

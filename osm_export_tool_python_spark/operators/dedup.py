@@ -58,6 +58,22 @@ def minhash_signature_xx(text_col="text", n_hashes: int = 16, shingle_n: int = 3
     return F.array(*[slot(i) for i in range(n_hashes)])
 
 
+def _affine_params(n_hashes: int):
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod 2^32 — SplitMix64-derived constants, a
+    odd and both < 2^31 so a*x+b < 2^63 (no ANSI long overflow)."""
+    mask = (1 << 64) - 1
+    params, x = [], 0
+    for _ in range(n_hashes):
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        z ^= z >> 31
+        params.append(((z & 0x7FFFFFFF) | 1, (z >> 33) & 0x7FFFFFFF))
+    return params
+
+
 def minhash_signature_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -66,21 +82,43 @@ def minhash_signature_table(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, h0..h{n-1}) minhash signatures via explode → hash →
-    groupBy-min.  The shingle expression evaluates ONCE per doc (the
-    naive array-of-array_min form re-evaluates it n_hashes times and
-    falls out of codegen); the min-agg combines map-side, so the
-    shuffle carries one row per doc.  Small inputs are fanned out BY
-    THE ID before the explode (see `parallel.fan_out`): the heavy
-    shingle/hash map then runs at full width, and the groupBy reuses
-    that hash exchange instead of adding one."""
+    groupBy-min.
+
+    Scale-path hashing (Broder-style universal family, the datasketch
+    construction): each token is xxhash64'd ONCE, each shingle is ONE
+    xxhash64 over its slice of token hashes — no n-gram string is ever
+    allocated — and the n_hashes slots are cheap affine mixes
+    (a_i*h+b_i mod 2^32, pairwise-independent) of that single base
+    hash instead of n_hashes independent passes over the shingle
+    bytes.  Per shingle: 1 string hash + n_hashes integer ops, versus
+    n_hashes string hashes + an array_join allocation before.  The
+    min-agg combines map-side, so the shuffle carries one row per doc.
+    Small inputs are fanned out BY THE ID before the explode (see
+    `parallel.fan_out`): the heavy map then runs at full width, and
+    the groupBy reuses that hash exchange instead of adding one."""
     from ..parallel import fan_out
 
     df = fan_out(df, id_col)
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
-    )
+    tok_h = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    k = F.size(tok_h)
+    # docs shorter than shingle_n yield a single whole-doc shingle,
+    # mirroring `text.shingles`
+    sh_h = F.when(
+        k >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), k - shingle_n + 1),
+            lambda i: F.xxhash64(F.slice(tok_h, i, shingle_n)),
+        ),
+    ).otherwise(F.array(F.xxhash64(tok_h)))
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh_h).alias("hs"))
+    base = F.col("hs").bitwiseAND(F.lit(0xFFFFFFFF))
     return exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias("h%d" % i) for i in range(n_hashes)]
+        *[
+            F.min((F.lit(a) * base + F.lit(b)).bitwiseAND(F.lit(0xFFFFFFFF))).alias(
+                "h%d" % i
+            )
+            for i, (a, b) in enumerate(_affine_params(n_hashes))
+        ]
     )
 
 

@@ -101,6 +101,9 @@ class IVFIndex:
 
     def assign_lists(self, vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Add `list_id` — at scale this is the partition/bucket column."""
+        from ..parallel import fan_out
+
+        vectors = fan_out(vectors)
         assign = self._assign_udf(vectors.sparkSession, 1)
         return vectors.withColumn(
             "list_id", F.try_element_at(assign(F.col(vec_col)), F.lit(1))

@@ -375,6 +375,35 @@ along with cores, so the 2→8 in-envelope measurement is the
 representative proxy; partition counts scale with cores and no stage
 is serialized on the driver.
 
+## Pipeline materialization: persist vs lineage-truncating checkpoint
+
+Same workload, local[32], alternating persist-based and
+`localCheckpoint`-based (`lineage.eager_local_checkpoint`) pipeline
+runs in paired order within one session, leak-checked (no cached RDD
+survives `lineage.release`):
+
+| pair | persist (s) | checkpoint (s) | speedup | outputs |
+|---|---|---|---|---|
+| 1 | 281.0 | 236.1 | 1.19× | identical (2,962,966 feats / 2,644 tiles) |
+| 2 | 209.3 | 151.4 | 1.38× | identical |
+
+Follow-up (same workload, paired order): dropping the CLIP
+materialization entirely — its output has exactly one consumer, the
+themed materialization, so caching it is a pure extra write+read pass
+— is faster again: clip-ckpt 231.6 s / 258.9 s vs no-clip 225.1 s /
+227.4 s, identical outputs, zero leaked RDDs.  The scaling tables on
+this page are measured with the winning shape (checkpoint +
+unmaterialized clip), which both bench.py and `export()` now use.
+
+The checkpoint win is driver-side: every action re-runs Catalyst over
+the full logical tree of its frame, and by the tile stage that tree
+holds the span decode, two joins, the relation assembler and a
+four-way union — truncating to a flat `LogicalRDD` after each
+materialization removes that re-planning per action.  Plain persist
+remains the cluster-scale default because localCheckpoint trades away
+lineage-based fault recovery (see
+`osm_export_tool_python_spark/lineage.py`).
+
 ## SECONDARY: N → 4N real executor JVMs
 
 `local-cluster[N, 1, 12g]` — N separate 1-core 12 GiB executor JVMs
@@ -440,6 +469,19 @@ reading across rounds: the stretch figure is whatever BENCH/STRETCH.json
 currently records — if it was measured in an earlier round / with a
 different best-of count than the local[{s["cpus"]}] row above, the ratio
 mixes protocols; re-run `--stretch` in the same round for a clean pair.)
+"""
+    report += """
+## Reading absolute walls across rounds
+
+Every number above is re-measured each round with the then-current
+code under one VM condition, so every RATIO on this page (N→4N
+efficiency, 2×-docs retention, salting bounds) is internally
+consistent.  ABSOLUTE walls are not comparable across rounds: this
+sandbox VM's effective speed drifts up to ~1.6× round-to-round
+(hypervisor neighbors, THP compaction).  BENCH_r{N}.json records a
+deterministic CPU probe (`vm_probe`: single-core + all-core forked
+sha256 walls) with every bench run — divide cross-round walls by the
+probe ratio before comparing engines across rounds.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
