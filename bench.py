@@ -152,14 +152,19 @@ def vm_probe(cpus):
     # 10-50x off ideal (allocator/GIL handoff thrash), which made the
     # all-core figure track interpreter contention instead of machine
     # load.  Forked workers with quarter work each keep the probe
-    # cheap; ideal wall = sha_1t/4.
+    # cheap; ideal wall = sha_1t/4.  Pool fork + teardown stay OUTSIDE
+    # the timed window (a tiny warm map forces every worker to spawn
+    # first): fork time varies with parent RSS — the very machine-state
+    # drift the probe exists to normalize away.
     from concurrent.futures import ProcessPoolExecutor
 
     try:
         with ProcessPoolExecutor(cpus) as ex:
+            list(ex.map(_sha_work, [1] * cpus))
+            t2 = time.perf_counter()
             list(ex.map(_sha_work, [1000] * cpus))
-        t2 = time.perf_counter()
-        allcore = round(t2 - t1, 3)
+            t3 = time.perf_counter()
+        allcore = round(t3 - t2, 3)
     except Exception:
         allcore = None
     return {

@@ -13,7 +13,9 @@ rows we want colocated.
 
 Hash choices: the minhash variant used for ORACLE parity is md5-based
 (identical hex in Spark and DuckDB, lexicographic min); the scale path
-uses xxhash64 (JVM intrinsic, no string materialization)."""
+(`minhash_signature_table`) hashes each shingle ONCE with xxhash64
+over token-hash slices and derives all signature slots via affine
+mixes — no n-gram string is ever materialized."""
 
 from __future__ import annotations
 
@@ -44,16 +46,6 @@ def minhash_signature_md5(text_col="text", n_hashes: int = 8, shingle_n: int = 3
         return F.array_min(
             F.transform(sh, lambda s: F.md5(F.concat(F.lit("s%d|" % i), s)))
         )
-
-    return F.array(*[slot(i) for i in range(n_hashes)])
-
-
-def minhash_signature_xx(text_col="text", n_hashes: int = 16, shingle_n: int = 3):
-    """array<long> signature via xxhash64 — the JVM-fast scale path."""
-    sh = shingles(text_col, shingle_n)
-
-    def slot(i):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
 
     return F.array(*[slot(i) for i in range(n_hashes)])
 

@@ -46,25 +46,6 @@ from pyspark.sql import functions as F
 from ..functions.cells import cell_from_zxy, lonlat_to_tile
 
 
-def _tiles_for_bbox(xmin, ymin, xmax, ymax, zooms, max_cells_per_zoom=None):
-    """All covering cells of one bbox across zooms (numpy per row).
-    No silent cap by default: pass `max_cells_per_zoom` ONLY when the
-    caller surfaces the skipped (feature, zoom) count itself."""
-    out = []
-    for z in zooms:
-        x0, y1 = lonlat_to_tile(np.array([xmin]), np.array([ymin]), z)
-        x1, y0 = lonlat_to_tile(np.array([xmax]), np.array([ymax]), z)
-        nx = int(x1[0]) - int(x0[0]) + 1
-        ny = int(y1[0]) - int(y0[0]) + 1
-        if max_cells_per_zoom is not None and nx * ny > max_cells_per_zoom:
-            continue
-        xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.uint64)
-        for ty in range(int(y0[0]), int(y1[0]) + 1):
-            cells = cell_from_zxy(z, xs, np.full(len(xs), ty, dtype=np.uint64))
-            out.extend(int(c) for c in cells.astype(np.int64))
-    return out
-
-
 def _spread_bits_col(v):
     """Morton bit-spread as pure Column ops (inverse of decode_cell_cols'
     compact) — bit i of the low 32 moves to bit 2i."""

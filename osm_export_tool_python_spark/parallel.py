@@ -23,10 +23,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _is_narrow(df: DataFrame) -> bool:
+    """True iff the frame's physical plan contains no exchange.
+
+    Guard order matters: under AQE, touching ``df.rdd`` on a
+    SHUFFLE-BEARING frame executes its query stages immediately (a
+    real Spark job at graph-construction time, re-run again by the
+    actual action) — so the partition-count probe below is only safe
+    on narrow plans.  Inspecting the executed-plan STRING is lazy for
+    both AQE and non-AQE plans (AdaptiveSparkPlan prints its initial
+    plan without running it)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return False
+    # AQE wraps a plan in AdaptiveSparkPlan ONLY when it contains
+    # exchanges (or subqueries) — and its initial toString elides the
+    # Exchange nodes themselves, so the wrapper is the reliable signal;
+    # the literal Exchange check covers AQE-off sessions.
+    return "AdaptiveSparkPlan" not in plan and "Exchange" not in plan
+
+
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread a small frame across the session's full parallelism;
-    no-op when the input already has at least that many partitions."""
+    no-op when the input already has at least that many partitions or
+    already contains a shuffle (post-shuffle width IS the session
+    parallelism, and probing partitions there would execute stages)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if not _is_narrow(df):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     if key_cols:

@@ -301,26 +301,29 @@ def _write_tabular_impl(spark, themed, mapping, out_dir, fmt, manifest,
                 manifest.mark_done(part_key, **info)
 
 
-def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True):
+def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True, exact=True):
     part_key = "tiles/z%d-%d" % zooms
     path = os.path.join(out_dir, "tiles")
-    if manifest.is_done(part_key):
-        return
     # tile features once over the deduped feature set (a feature in
     # many themes packs once per tile, like the reference's mbtiles
     # which is theme-independent raster fetch)
     uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
-    # the drop metric is DERIVED from the assignment mode so it can
-    # never silently report 0 for a path that actually truncates:
+    # the drop metric is DERIVED from the assignment mode (the real
+    # `exact` routed into tile_features below) so it can never
+    # silently report 0 for a path that actually truncates:
     # intersection-exact assignment has no cap (fanout is O(tiles the
     # geometry touches)) so 0 holds by construction of that branch;
-    # the bbox fallback must count its over-cap (feature, zoom) drops
-    exact = True
+    # the bbox fallback counts its over-legacy-cap (feature, zoom)
+    # rows.  Recorded BEFORE the resume early-return — manifest.write()
+    # rebuilds metrics from this run, so a resumed export would
+    # otherwise drop the key that tests and consumers rely on.
     manifest.add_metric(
         "tiles_capped_feature_zooms",
         0 if exact
-        else bbox_fanout_over_cap(uniq, zooms[0], zooms[1]).count(),
+        else bbox_fanout_over_cap(uniq, zooms[0], zooms[1], cap=256).count(),
     )
+    if manifest.is_done(part_key):
+        return
     tf = tile_features(uniq, zooms[0], zooms[1], exact=exact)
     # partition count from cluster parallelism — tf.rdd.getNumPartitions()
     # would force plan materialization and bypass AQE just to pick a number

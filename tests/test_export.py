@@ -107,6 +107,18 @@ def test_export_resume_skips_done(spark, docs, tmp_path_factory):
     assert {e["theme"] for e in payload2["entries"]} == {"buildings", "roads", "pois"}
 
 
+def test_export_resume_keeps_tile_cap_metric(spark, docs, tmp_path_factory):
+    # the no-truncation metric must survive a resumed export — the
+    # tiles part short-circuits on its done-marker, but manifest.write()
+    # rebuilds metrics from the CURRENT run, so the metric has to be
+    # recorded before the early return
+    out = str(tmp_path_factory.mktemp("export_resume_tiles"))
+    mapping = Mapping(MAPPING_YAML)
+    export(spark, docs, mapping, out, formats=("tiles",))
+    payload2 = export(spark, docs, mapping, out, formats=("tiles",))
+    assert payload2["metrics"]["tiles_capped_feature_zooms"] == 0
+
+
 def test_export_with_aoi_and_centroids(spark, docs, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("export_aoi"))
     mapping = Mapping(MAPPING_YAML)

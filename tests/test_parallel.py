@@ -39,6 +39,25 @@ def test_keyed_fan_out_single_exchange_for_groupby(spark):
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, base.collect()))
 
 
+def test_fan_out_noop_on_shuffle_bearing_frame(spark):
+    # under AQE, probing .rdd on a shuffle-bearing frame EXECUTES its
+    # query stages — fan_out must return such frames untouched without
+    # running anything
+    from pyspark import inheritable_thread_target  # noqa: F401  (import guard)
+
+    df = (
+        spark.range(1000)
+        .coalesce(1)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert fan_out(df, "k") is df
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no job ran at graph-construction time
+
+
 def test_minhash_signatures_unchanged_by_fan_out(spark):
     # signatures are per-row deterministic: partitioning must not
     # change them
