@@ -23,6 +23,16 @@ Two assignment paths:
     Kept for the cell-prefix partition layout (sources/tables.py) where
     a conservative SUPERSET is exactly what an index partition wants.
 
+Antimeridian contract: the exact path interprets a segment whose raw
+|Δlon| exceeds 180° as the SHORT arc across ±180 (Fiji/Chukotka ways)
+and splits it at the boundary before traversal; wrapped POLYGON rings
+raise (split them at ±180 upstream — an even-odd fill over a wrapped
+ring is ambiguous in lon/lat).  The bbox path stays literal raw
+lon/lat (a wrapped feature's bbox cover is the world band — a valid
+SUPERSET, which is all that index layout promises).  The reference
+has no antimeridian handling at all (shapely on raw lon/lat), so this
+is a documented, driver-gated improvement (`osm_tile_antimeridian`).
+
 Skew is the design driver here (axis A+B): geometry density is wildly
 non-uniform (hot city cells), so:
   - tile-cell explosion happens BEFORE the shuffle, so Spark's
@@ -347,6 +357,54 @@ def exact_cells_batch(
     lon1, lat1 = flat_x[s1], flat_y[s1]
     poly_seg = is_poly[seg_feat]
 
+    # antimeridian: a segment with |Δlon| > 180° is the SHORT arc
+    # across ±180 (Fiji/Chukotka ways), not a straight line across the
+    # whole map — interpolating it raw assigns tiles the long way
+    # around (the reference shares this flaw: shapely operates on raw
+    # lon/lat).  Wrapped LINE segments are split at the boundary into
+    # (lon0 → ±180) and (∓180 → lon1) with the latitude interpolated
+    # in unwrapped lon space; wrapped POLYGON edges raise — an even-odd
+    # fill over a wrapped ring is ambiguous in lon/lat, so the contract
+    # is that polygon rings must be split at ±180° upstream.
+    dlon = lon1 - lon0
+    wrap = np.abs(dlon) > 180.0
+    if wrap.any():
+        if (poly_seg & wrap).any():
+            raise ValueError(
+                "polygon ring crosses the antimeridian (|Δlon| > 180°); "
+                "split the ring at ±180° upstream"
+            )
+        sgn = np.where(dlon > 0, 1.0, -1.0)
+        d = dlon - 360.0 * sgn  # unwrapped delta, |d| < 180
+        degen = wrap & (d == 0.0)
+        if degen.any():
+            # ±180 → ∓180 is the SAME meridian: zero-length segment
+            lon1 = np.where(degen, lon0, lon1)
+            lat1 = np.where(degen, lat0, lat1)
+            dlon = lon1 - lon0
+            wrap = wrap & ~degen
+    if wrap.any():
+        sgn = np.where(dlon[wrap] > 0, 1.0, -1.0)
+        d = dlon[wrap] - 360.0 * sgn
+        bnd = -180.0 * sgn  # raw westward jump ⇒ eastbound across +180
+        t = (bnd - lon0[wrap]) / d
+        latm = lat0[wrap] + t * (lat1[wrap] - lat0[wrap])
+        add_feat = seg_feat[wrap]
+        add_lon1, add_lat1 = lon1[wrap].copy(), lat1[wrap].copy()
+        # wrapped segments become the near-side half in place …
+        lon1 = lon1.copy()
+        lat1 = lat1.copy()
+        lon1[wrap] = bnd
+        lat1[wrap] = latm
+        # … and the far-side half is appended (never a polygon edge —
+        # wrapped polygon edges raised above)
+        seg_feat = np.concatenate([seg_feat, add_feat])
+        lon0 = np.concatenate([lon0, -bnd])
+        lat0 = np.concatenate([lat0, latm])
+        lon1 = np.concatenate([lon1, add_lon1])
+        lat1 = np.concatenate([lat1, add_lat1])
+        poly_seg = np.concatenate([poly_seg, np.zeros(len(add_feat), dtype=bool)])
+
     # fallback coverage: the first point of every NONEMPTY ring/part
     # (not just each feature's first point) — a degenerate 1-point
     # part generates no segment, so without this a single-point ring
@@ -536,31 +594,64 @@ def decode_cell_cols(cell_col="cell"):
 
 def tile_features(
     features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16,
-    exact: bool = True,
+    exact: bool = True, max_ids_per_tile: int = 1024,
 ) -> DataFrame:
-    """(z, x, y, n_features, osm_ids) — the packed tile table.
+    """(z, x, y, n_features, osm_ids, n_overflow) — the packed tile
+    table.  `n_features` is the EXACT per-tile feature count;
+    `osm_ids` is the sorted FIRST `max_ids_per_tile` ids (the full
+    list whenever the tile holds that many or fewer — every id, once
+    per assignment, exactly the unbounded packing's contents);
+    `n_overflow = n_features - size(osm_ids)` makes any truncation
+    loud in the row itself.
 
     `exact=True` (default): a feature appears in a tile iff its
     geometry intersects it (supercover + scanline kernel); False is
     the bbox-cover superset.
 
-    Two-phase salted aggregation: hot tiles are split into `salt`
-    sub-buckets for the wide shuffle, then merged per tile.  Tile
-    contents are exactly the unsalted result; only the shuffle's key
-    cardinality changes."""
+    Why the list must be BOUNDED — and bounded *during* aggregation:
+    a z0/z1 tile contains every feature, so an uncapped
+    `collect_list` per cell packs the entire corpus's ids into ONE
+    array cell (multi-GB row → executor OOM at the 100 TB target).  A
+    capped `slice(collect_list(...))` doesn't fix it: the aggregation
+    buffer still accumulates the whole group before the slice (and a
+    single giant group can't spill out of ObjectHashAggregate).  So
+    the sample is selected with a row_number window over
+    (cell, salt-bucket) ordered by osm_id — WindowExec sorts with a
+    SPILLABLE external sorter, never holding a group in memory — and
+    only rows ranked ≤ cap reach the final collect, whose per-cell
+    buffer is ≤ salt × cap elements by construction.  The global
+    smallest-cap multiset is a subset of the union of per-bucket
+    smallest-cap multisets (any id with global rank ≤ cap has bucket
+    rank ≤ cap), so the post-merge slice is exact.
+
+    `n_features` rides the same aggregation as a plain count —
+    map-side partial combine absorbs the hot-cell skew, so the count
+    stays exact and O(1)-buffered even for the z0 everything-tile.
+    The salt bounds the window exchange's largest task the same way
+    it bounded the old packing shuffle."""
+    from pyspark.sql import Window
+
+    cap = int(max_ids_per_tile)
     assigner = with_tile_cells_exact if exact else with_tile_cells
-    with_cells = assigner(features, min_zoom, max_zoom)
+    with_cells = assigner(features, min_zoom, max_zoom).select("cell", "osm_id")
     salted = with_cells.withColumn(
         "__salt", F.pmod(F.hash("osm_id"), F.lit(salt))
     )
-    partial = salted.groupBy("cell", "__salt").agg(
-        F.count("*").alias("pn"),
-        F.collect_list("osm_id").alias("pids"),
+    w = Window.partitionBy("cell", "__salt").orderBy("osm_id")
+    ranked = salted.withColumn("__rn", F.row_number().over(w))
+    merged = ranked.groupBy("cell").agg(
+        F.count("*").alias("n_features"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= cap, F.col("osm_id")))
+            ),
+            1,
+            cap,
+        ).alias("osm_ids"),
     )
-    merged = partial.groupBy("cell").agg(
-        F.sum("pn").alias("n_features"),
-        F.sort_array(F.flatten(F.collect_list("pids"))).alias("osm_ids"),
+    merged = merged.withColumn(
+        "n_overflow", (F.col("n_features") - F.size("osm_ids")).cast("long")
     )
-    return merged.select(decode_cell_cols("cell"), "n_features", "osm_ids").select(
-        "c.z", "c.x", "c.y", "n_features", "osm_ids"
-    )
+    return merged.select(
+        decode_cell_cols("cell"), "n_features", "osm_ids", "n_overflow"
+    ).select("c.z", "c.x", "c.y", "n_features", "osm_ids", "n_overflow")

@@ -7,11 +7,13 @@ matter how many the session has: the 5k-doc bench corpus spent 3.3 s
 single-threaded in the shingle/hash map (0.4 s once spread).
 
 ``fan_out`` repartitions ONLY when the frame has fewer partitions than
-the session's shuffle parallelism; at cluster scale the scan already
-has more partitions than that, so the guard is a no-op and the shape
-stays shuffle-minimal (the pre-shuffle would move full text/vector
-rows, which costs more than the map-side-combined aggregates it could
-replace).  When key columns are given the repartition is a hash
+the session's shuffle parallelism AND its optimizer size estimate is
+small (``_MAX_FAN_OUT_BYTES``); at cluster scale the scan already has
+more partitions than that — and even a few-partition scan of a LARGE
+table is skipped by the size gate — so the guard is a no-op and the
+shape stays shuffle-minimal (the pre-shuffle would move full
+text/vector rows, which costs more than the map-side-combined
+aggregates it could replace).  When key columns are given the repartition is a hash
 exchange on them with an EXPLICIT partition count — AQE does not
 coalesce user-specified counts, so the fan-out survives its
 bytes-based advisory sizing — and a downstream groupBy/join on the
@@ -21,6 +23,36 @@ same keys reuses it instead of adding a second exchange.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+# Above this optimizer size estimate the pre-shuffle stops paying for
+# itself: a big narrow frame already spreads across many scan
+# partitions, and repartitioning it would move the FULL rows (text /
+# vectors) through an exchange that the downstream map-side-combined
+# aggregation never needed.  512 MiB ≈ a few scan partitions at the
+# default 128 MiB maxPartitionBytes — the regime where the guard's
+# single-core serialization problem actually exists.
+_MAX_FAN_OUT_BYTES = 512 << 20
+
+
+def _session_width(spark) -> int:
+    """The session's shuffle parallelism, tolerant of non-numeric
+    values (e.g. "auto" under vendor AQE): falls back to the
+    scheduler's defaultParallelism instead of raising."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Catalyst's optimizer size estimate (bytes) for the frame; None
+    when unavailable.  Pure plan metadata — no job runs."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
 
 
 def _is_narrow(df: DataFrame) -> bool:
@@ -44,15 +76,23 @@ def _is_narrow(df: DataFrame) -> bool:
     return "AdaptiveSparkPlan" not in plan and "Exchange" not in plan
 
 
-def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Spread a small frame across the session's full parallelism;
-    no-op when the input already has at least that many partitions or
-    already contains a shuffle (post-shuffle width IS the session
-    parallelism, and probing partitions there would execute stages)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+def fan_out(
+    df: DataFrame, *key_cols: str, max_bytes: int = _MAX_FAN_OUT_BYTES
+) -> DataFrame:
+    """Spread a SMALL narrow frame across the session's full
+    parallelism; no-op when the input already has at least that many
+    partitions, already contains a shuffle (post-shuffle width IS the
+    session parallelism, and probing partitions there would execute
+    stages), or is estimated bigger than `max_bytes` (a large scan
+    already parallelizes across its file partitions — pre-shuffling
+    its full rows would cost more than the skew it prevents)."""
+    n = _session_width(df.sparkSession)
     if not _is_narrow(df):
         return df
     if df.rdd.getNumPartitions() >= n:
+        return df
+    size = _plan_size_bytes(df)
+    if size is not None and size > max_bytes:
         return df
     if key_cols:
         return df.repartition(n, *key_cols)

@@ -502,10 +502,19 @@ def write_mbtiles(path, tiles, bounds, minzoom, maxzoom, name="export"):
     batch = []
     for row in tiles:
         z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-        payload = json.dumps(
-            {"n": int(row["n_features"]), "osm_ids": list(row["osm_ids"])},
-            separators=(",", ":"),
-        ).encode()
+        # bounded packing (operators/tiles.tile_features): osm_ids is
+        # the sorted first-N sample and n_overflow counts the ids the
+        # cap excluded (0 = the list is complete).  Carried into the
+        # payload whenever present so no truncation is ever silent;
+        # legacy complete-list rows omit the key.
+        try:
+            overflow = int(row["n_overflow"])
+        except Exception:
+            overflow = 0
+        doc = {"n": int(row["n_features"]), "osm_ids": list(row["osm_ids"])}
+        if overflow:
+            doc["n_overflow"] = overflow
+        payload = json.dumps(doc, separators=(",", ":")).encode()
         # MBTiles uses TMS row order: south-origin flip of the XYZ y
         batch.append((z, x, (1 << z) - 1 - y, sqlite3.Binary(payload)))
         count += 1

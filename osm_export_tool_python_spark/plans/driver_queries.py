@@ -2146,6 +2146,106 @@ WHERE px BETWEEN cx0 AND cx1 AND py BETWEEN cy0 AND cy1
 """
 
 
+def q_osm_tile_pack_bounded(spark, sf_dir):
+    """Bounded tile packing (VERDICT r4 #1): the packed tile table's
+    per-tile id list is capped (here cap=8 to force overflow at the
+    gate's scale) while `n_features` stays exact and `n_overflow`
+    counts the excluded ids.  The oracle ranks each tile's ids in
+    DuckDB and packs only rank ≤ cap, so the sorted-first-N sample,
+    the exact count, and the overflow arithmetic are all checked
+    closed-form.  At z1 every tile holds hundreds of the 1,500+
+    customer points, so the cap provably binds."""
+    from ..operators.tiles import tile_features
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 2000)
+    k = F.col("c_custkey")
+    feats = c.select(
+        k.cast("long").alias("osm_id"),
+        F.lit("point").alias("geom_type"),
+        F.array(((k * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("xs"),
+        F.array(((k * 13) % 1600) / 10.0 - 80.0 + 0.05).alias("ys"),
+        F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("ring_offsets"),
+    )
+    tf = tile_features(feats, 1, 3, max_ids_per_tile=8)
+    return tf.select(
+        "z",
+        "x",
+        "y",
+        "n_features",
+        F.md5(
+            F.concat_ws(",", F.col("osm_ids").cast("array<string>"))
+        ).alias("ids_md5"),
+        "n_overflow",
+    )
+
+
+SQL_OSM_TILE_PACK_BOUNDED = """
+WITH pts AS (
+  SELECT c_custkey AS osm_id,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon,
+         (((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05) AS lat
+  FROM customer WHERE c_custkey < 2000
+), assigned AS (
+  SELECT CAST(z AS INT) AS z,
+         CAST(floor((lon + 180.0) / 360.0 * pow(2.0, z)) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi())
+                    / 2.0 * pow(2.0, z)) AS BIGINT) AS y,
+         osm_id
+  FROM pts, UNNEST(generate_series(1, 3)) t(z)
+), ranked AS (
+  SELECT z, x, y, osm_id,
+         ROW_NUMBER() OVER (PARTITION BY z, x, y ORDER BY osm_id) AS rn,
+         COUNT(*) OVER (PARTITION BY z, x, y) AS n
+  FROM assigned
+)
+SELECT z, x, y,
+       CAST(MAX(n) AS BIGINT) AS n_features,
+       md5(string_agg(CASE WHEN rn <= 8 THEN CAST(osm_id AS VARCHAR) END,
+                      ',' ORDER BY osm_id)) AS ids_md5,
+       CAST(MAX(n) - LEAST(MAX(n), 8) AS BIGINT) AS n_overflow
+FROM ranked GROUP BY z, x, y
+"""
+
+
+def q_osm_tile_antimeridian(spark, sf_dir):
+    """Antimeridian contract (VERDICT r4 #4): Fiji-style ways whose
+    lon jumps ±(>180°) are split at ±180 and assigned the TWO SHORT
+    ARCS' tiles — never the around-the-world band.  Each way here is
+    built so both arcs stay inside single tiles at z4 (lats within
+    tile row y=8, lons within columns 15 and 0), so the expected
+    assignment is closed-form: exactly {(15, 8), (0, 8)} per way —
+     2 rows per feature; the unsplit interpolation would emit all 16
+    columns."""
+    from ..operators.tiles import decode_cell_cols, with_tile_cells_exact
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 40)
+    k = F.col("c_custkey")
+    lat0 = -17.0 - (k % 5).cast("double") / 100.0
+    feats = c.select(
+        k.cast("long").alias("osm_id"),
+        F.lit("way").alias("src"),
+        F.lit("line").alias("geom_type"),
+        F.array(F.lit(179.5) + (k % 3).cast("double") / 10.0, F.lit(-179.5)).alias("xs"),
+        F.array(lat0, lat0 - 0.05).alias("ys"),
+        F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("ring_offsets"),
+    )
+    out = with_tile_cells_exact(feats, 4, 4)
+    return (
+        out.select("osm_id", decode_cell_cols("cell"))
+        .select("osm_id", "c.z", "c.x", "c.y")
+    )
+
+
+SQL_OSM_TILE_ANTIMERIDIAN = """
+SELECT c_custkey AS osm_id, CAST(4 AS INT) AS z,
+       CAST(15 AS BIGINT) AS x, CAST(8 AS BIGINT) AS y
+FROM customer WHERE c_custkey < 40
+UNION ALL
+SELECT c_custkey, CAST(4 AS INT), CAST(0 AS BIGINT), CAST(8 AS BIGINT)
+FROM customer WHERE c_custkey < 40
+"""
+
+
 QUERIES = {
     # text / dedup
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
@@ -2194,6 +2294,8 @@ QUERIES = {
     "osm_span_roundtrip": (q_osm_span_roundtrip, SQL_OSM_SPAN_ROUNDTRIP),
     "osm_flagship_export": (q_osm_flagship_export, SQL_OSM_FLAGSHIP_EXPORT),
     "osm_tile_table": (q_osm_tile_table, SQL_OSM_TILE_TABLE),
+    "osm_tile_pack_bounded": (q_osm_tile_pack_bounded, SQL_OSM_TILE_PACK_BOUNDED),
+    "osm_tile_antimeridian": (q_osm_tile_antimeridian, SQL_OSM_TILE_ANTIMERIDIAN),
     "osm_tile_bigfeature": (q_osm_tile_bigfeature, SQL_OSM_TILE_BIGFEATURE),
     "osm_tile_polygon_fill": (q_osm_tile_polygon_fill, SQL_OSM_TILE_POLYGON_FILL),
     "osm_partition_pruned_read": (

@@ -308,20 +308,22 @@ def _write_tiles(spark, themed, out_dir, zooms, manifest, binary=True, exact=Tru
     # many themes packs once per tile, like the reference's mbtiles
     # which is theme-independent raster fetch)
     uniq = themed.dropDuplicates(["osm_id", "src", "geom_type"])
-    # the drop metric is DERIVED from the assignment mode (the real
-    # `exact` routed into tile_features below) so it can never
-    # silently report 0 for a path that actually truncates:
-    # intersection-exact assignment has no cap (fanout is O(tiles the
-    # geometry touches)) so 0 holds by construction of that branch;
-    # the bbox fallback counts its over-legacy-cap (feature, zoom)
-    # rows.  Recorded BEFORE the resume early-return — manifest.write()
-    # rebuilds metrics from this run, so a resumed export would
-    # otherwise drop the key that tests and consumers rely on.
-    manifest.add_metric(
-        "tiles_capped_feature_zooms",
-        0 if exact
-        else bbox_fanout_over_cap(uniq, zooms[0], zooms[1], cap=256).count(),
-    )
+    # NOTHING is dropped in either assignment mode: exact assignment
+    # has no cap by construction (fanout is O(tiles the geometry
+    # touches)), and the bbox fallback below calls tile_features with
+    # no cap either — so the drop metric is 0 by construction, and the
+    # bbox path additionally reports how many (feature, zoom) rows
+    # EXCEED the legacy 256-tile cap purely as a fanout-visibility
+    # figure (they are all still assigned).  Recorded BEFORE the
+    # resume early-return — manifest.write() rebuilds metrics from
+    # this run, so a resumed export would otherwise drop the key that
+    # tests and consumers rely on.
+    manifest.add_metric("tiles_capped_feature_zooms", 0)
+    if not exact:
+        manifest.add_metric(
+            "tiles_bbox_over_legacy_cap",
+            bbox_fanout_over_cap(uniq, zooms[0], zooms[1], cap=256).count(),
+        )
     if manifest.is_done(part_key):
         return
     tf = tile_features(uniq, zooms[0], zooms[1], exact=exact)

@@ -76,8 +76,11 @@ def test_export_all_formats(spark, docs, tmp_path_factory):
 
     # tiles
     tdf = spark.read.parquet(os.path.join(out, "tiles"))
-    assert set(tdf.columns) == {"z", "x", "y", "n_features", "osm_ids"}
+    assert set(tdf.columns) == {"z", "x", "y", "n_features", "osm_ids", "n_overflow"}
     assert tdf.where((F.col("z") < 4) | (F.col("z") > 6)).count() == 0
+    # the id sample is complete (no tile near the default cap here)
+    assert tdf.where(F.col("n_overflow") != 0).count() == 0
+    assert tdf.where(F.size("osm_ids") != F.col("n_features")).count() == 0
 
     # exact tile assignment never truncates — and the manifest says so
     assert payload["metrics"]["tiles_capped_feature_zooms"] == 0

@@ -58,6 +58,37 @@ def test_fan_out_noop_on_shuffle_bearing_frame(spark):
     assert after == before  # no job ran at graph-construction time
 
 
+def test_fan_out_tolerates_non_numeric_shuffle_partitions(spark):
+    # vendor AQE distros set spark.sql.shuffle.partitions to "auto" —
+    # the width probe must fall back to defaultParallelism, not raise
+    from osm_export_tool_python_spark.parallel import _session_width
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 5
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert _session_width(_Fake()) == 5
+    assert _session_width(spark) == _nparts(spark)
+
+
+def test_fan_out_noop_on_large_estimated_input(spark):
+    # a narrow frame whose optimizer size estimate exceeds the gate
+    # must come back untouched — repartitioning a large scan's full
+    # rows is the exchange the guard exists to avoid, not create.
+    # Range stats are exact (8 bytes/row): 2^27 rows = 1 GiB estimate.
+    df = spark.range(1 << 27).coalesce(1)
+    assert fan_out(df) is df
+    # and the same frame passes with a raised gate
+    assert fan_out(df, max_bytes=1 << 40) is not df
+
+
 def test_minhash_signatures_unchanged_by_fan_out(spark):
     # signatures are per-row deterministic: partitioning must not
     # change them

@@ -85,6 +85,35 @@ def test_salted_packing_equals_unsalted(spark):
     assert sum(v[0] for v in a.values()) == 600  # 200 pts × 3 zooms
 
 
+def test_packed_tile_list_bounded_with_exact_overflow(spark):
+    # 200 clustered points: at z6 they share one tile, so a cap of 10
+    # must yield the sorted FIRST 10 ids, an exact n_features, and
+    # n_overflow making up the difference; roomier tiles (cap 1000)
+    # carry the complete list with overflow 0.
+    rng = np.random.default_rng(5)
+    rows = [
+        _pt(i, float(13.4 + rng.normal() * 0.001), float(52.5 + rng.normal() * 0.001))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    full = {
+        (r["z"], r["x"], r["y"]): (r["n_features"], tuple(r["osm_ids"]), r["n_overflow"])
+        for r in tile_features(df, 6, 8, salt=16, max_ids_per_tile=1000).collect()
+    }
+    capped = {
+        (r["z"], r["x"], r["y"]): (r["n_features"], tuple(r["osm_ids"]), r["n_overflow"])
+        for r in tile_features(df, 6, 8, salt=16, max_ids_per_tile=10).collect()
+    }
+    assert set(full) == set(capped)
+    for key, (n, ids, over) in full.items():
+        assert over == 0
+        assert len(ids) == n  # complete list under a roomy cap
+        cn, cids, cover = capped[key]
+        assert cn == n  # the count never truncates
+        assert cids == ids[: min(10, n)]  # sorted first-N sample
+        assert cover == n - len(cids)
+
+
 # ---------------------------------------------------------------------------
 # exact (intersection) assignment
 # ---------------------------------------------------------------------------
@@ -144,8 +173,16 @@ def test_exact_kernel_matches_bruteforce_fuzz():
         z = int(rng.integers(3, 8))
         kind = ["line", "polygon"][trial % 2]
         if kind == "line":
+            # random walk with |Δlon| < 180 per segment: the kernel
+            # now interprets wider jumps as antimeridian wraps (split
+            # at ±180), which the literal brute rasterizer can't model
             npts = int(rng.integers(2, 6))
-            xs = rng.uniform(-170, 170, npts)
+            steps = rng.uniform(-90.0, 90.0, npts - 1)
+            xs = np.clip(
+                np.cumsum(np.concatenate([[rng.uniform(-170, 170)], steps])),
+                -179.9,
+                179.9,
+            )
             ys = rng.uniform(-70, 70, npts)
             offs = [0, npts]
         else:
@@ -166,14 +203,78 @@ def test_exact_kernel_matches_bruteforce_fuzz():
 
 def test_exact_line_strict_subset_of_bbox_cover():
     """A diagonal way's exact tile set is a STRICT subset of its bbox
-    cover — the intersection-semantics upgrade, measured."""
-    xs = np.array([-170.03, 150.41])
+    cover — the intersection-semantics upgrade, measured.  (Δlon kept
+    under 180° so the segment is a literal diagonal, not a wrap.)"""
+    xs = np.array([-20.03, 150.41])
     ys = np.array([-75.17, 70.23])
     got = exact_cells_batch(["line"], [xs], [ys], [[0, 2]], 8, 8)[0]
     _, gx, gy = cell_decode(got)
     bbox_cover = (gx.max() - gx.min() + 1) * (gy.max() - gy.min() + 1)
     assert len(got) > 256  # the old silent cap would have dropped it entirely
     assert len(got) < bbox_cover / 10  # strict subset, and dramatically so
+
+
+def test_antimeridian_line_takes_short_arcs():
+    """A Fiji-style way (179.5,-17)→(-179.5,-17.2) crosses ±180: its
+    tiles are the TWO SHORT ARCS beside the antimeridian, never the
+    around-the-world band.  At z4 each arc stays inside one tile, so
+    the expected set is closed-form: {(15, 8), (0, 8)}."""
+    got = exact_cells_batch(
+        ["line"], [np.array([179.5, -179.5])], [np.array([-17.0, -17.2])],
+        [[0, 2]], 4, 4,
+    )[0]
+    _, gx, gy = cell_decode(got)
+    assert set(zip(gx.tolist(), gy.tolist())) == {(15, 8), (0, 8)}
+    # and westbound (the mirror jump) produces the same two tiles
+    got_w = exact_cells_batch(
+        ["line"], [np.array([-179.5, 179.5])], [np.array([-17.2, -17.0])],
+        [[0, 2]], 4, 4,
+    )[0]
+    _, wx, wy = cell_decode(got_w)
+    assert set(zip(wx.tolist(), wy.tolist())) == {(15, 8), (0, 8)}
+
+
+def test_antimeridian_multi_crossing_and_latitudes():
+    """The split interpolates latitude at the boundary in UNWRAPPED lon
+    space: a long wrapped segment's two halves each supercover their
+    own side, verified against the brute rasterizer run per half."""
+    xs = np.array([170.2, -160.7])
+    ys = np.array([-10.3, 24.9])
+    z = 5
+    got = exact_cells_batch(["line"], [xs], [ys], [[0, 2]], z, z)[0]
+    _, gx, gy = cell_decode(got)
+    # closed-form halves: crossing at t = (180-170.2)/29.1
+    t = (180.0 - 170.2) / ((-160.7 + 360.0) - 170.2)
+    latm = -10.3 + t * (24.9 - (-10.3))
+    east = _brute_tiles("line", [170.2, 179.999999], [-10.3, latm], [0, 2], z)
+    west = _brute_tiles("line", [-179.999999, -160.7], [latm, 24.9], [0, 2], z)
+    assert set(zip(gx.tolist(), gy.tolist())) == east | west
+
+
+def test_antimeridian_polygon_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="antimeridian"):
+        exact_cells_batch(
+            ["polygon"],
+            [np.array([179.0, -179.0, -179.0, 179.0])],
+            [np.array([-17.0, -17.0, -18.0, -18.0])],
+            [[0, 4]],
+            4,
+            4,
+        )
+
+
+def test_antimeridian_degenerate_same_meridian():
+    """±180 → ∓180 at the same latitude is the SAME meridian — a
+    zero-length segment, not a world-spanning one."""
+    got = exact_cells_batch(
+        ["line"], [np.array([-180.0, 180.0])], [np.array([10.0, 10.0])],
+        [[0, 2]], 3, 3,
+    )[0]
+    _, gx, gy = cell_decode(got)
+    tiles = set(zip(gx.tolist(), gy.tolist()))
+    assert tiles <= {(0, 3), (7, 3)} and tiles  # only the meridian's edge tiles
 
 
 def test_exact_donut_hole_interior_absent():
