@@ -2246,6 +2246,154 @@ FROM customer WHERE c_custkey < 40
 """
 
 
+def q_osm_incremental_export(spark, sf_dir):
+    """Streaming/incremental export parity (VERDICT r4 #3 — the one
+    SURVEY §2 row that had no CORRECTNESS gate): the incremental
+    exporter (streaming/incremental.run_incremental_export,
+    availableNow trigger + checkpointed exactly-once parquet sink)
+    runs over snapshot A (odd customer keys), then again after
+    snapshot B (even keys) lands in the input directory — the second
+    run resumes from the Spark checkpoint and processes ONLY the new
+    files.  The accumulated sink must equal the batch themed export
+    over the full table, which the oracle computes directly from
+    `customer`."""
+    import shutil
+
+    from ..functions.mapping import Mapping
+    from ..sources import decode
+    from ..streaming.incremental import run_incremental_export
+
+    base = "/tmp/spark_osm_incr_%s" % sf_dir.strip("/").replace("/", "_")
+    in_dir, out_dir, ck = base + "/in", base + "/out", base + "/ck"
+    shutil.rmtree(base, ignore_errors=True)
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 2500)
+    k = F.col("c_custkey")
+    lon = ((k * 7) % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((k * 13) % 1600) / 10.0 - 80.0 + 0.05
+    amen = F.when(k % 3 == 0, F.lit("cafe")).otherwise(F.lit("bench"))
+    docs = c.select(
+        F.concat(F.lit("node/"), k.cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("tag").alias("kind"),
+                F.concat(F.lit("amenity="), amen).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("tag").alias("kind"),
+                F.concat(F.lit("name=c"), k.cast("string")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("point").alias("text"),
+                decode.wkb_point_encode(lon, lat).alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    mapping = Mapping(
+        "pois:\n  types: [points]\n  select: [amenity, name]\n"
+        "  where: amenity = 'cafe'\n"
+    )
+    docs.where(k % 2 == 1).write.mode("overwrite").parquet(in_dir)
+    run_incremental_export(spark, in_dir, mapping, out_dir, ck)
+    docs.where(k % 2 == 0).write.mode("append").parquet(in_dir)
+    run_incremental_export(spark, in_dir, mapping, out_dir, ck)
+
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "osm_id",
+        "theme",
+        "amenity",
+        "name",
+        F.round(F.try_element_at("xs", F.lit(1)), 6).alias("lon"),
+        F.round(F.try_element_at("ys", F.lit(1)), 6).alias("lat"),
+    )
+
+
+SQL_OSM_INCREMENTAL_EXPORT = """
+SELECT c_custkey AS osm_id, 'pois' AS theme, 'cafe' AS amenity,
+       'c' || CAST(c_custkey AS VARCHAR) AS name,
+       round((((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05), 6) AS lon,
+       round((((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05), 6) AS lat
+FROM customer WHERE c_custkey < 2500 AND c_custkey % 3 = 0
+"""
+
+
+def q_osm_sargable_scan(spark, sf_dir):
+    """Sargable hot-key pushdown end to end (VERDICT r4 #6): documents
+    carry the ingest-time ``hk_amenity`` projection, are written
+    hot-key-CLUSTERED (range repartition + sort so row-group min/max
+    are tight), and the themed read goes through
+    `read_theme_candidates` — the mapping's necessary condition lands
+    in the parquet scan as PushedFilters (plan gate in
+    tests/test_sargable.py) and prunes row groups.  For this
+    point-only mapping the pruned scan is sound end to end; the
+    oracle computes the matching nodes directly from `customer`."""
+    from ..functions.mapping import Mapping
+    from ..operators.assemble import point_features
+    from ..operators.themes import theme_fanout
+    from ..sources import decode
+    from ..sources.tables import read_theme_candidates, write_hotkey_clustered
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 2500)
+    k = F.col("c_custkey")
+    lon = ((k * 7) % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((k * 13) % 1600) / 10.0 - 80.0 + 0.05
+    amen = (
+        F.when(k % 4 == 0, F.lit("school"))
+        .when(k % 4 == 1, F.lit("cafe"))
+        .otherwise(F.lit("bench"))
+    )
+    docs = c.select(
+        F.concat(F.lit("node/"), k.cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("tag").alias("kind"),
+                F.concat(F.lit("amenity="), amen).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("point").alias("text"),
+                decode.wkb_point_encode(lon, lat).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+        amen.alias("hk_amenity"),
+    )
+    path = "/tmp/spark_osm_sargable_%s" % sf_dir.strip("/").replace("/", "_")
+    write_hotkey_clustered(docs, path, ("amenity",))
+    mapping = Mapping(
+        "pois:\n  types: [points]\n  select: [amenity]\n"
+        "  where: amenity IN ('school', 'cafe')\n"
+    )
+    cand = read_theme_candidates(spark, path, mapping)
+    pts = theme_fanout(
+        point_features(decode.nodes_table(decode.with_entity_meta(cand))), mapping
+    )
+    return pts.select(
+        "osm_id",
+        F.try_element_at("tags", F.lit("amenity")).alias("amenity"),
+        F.round(F.try_element_at("xs", F.lit(1)), 6).alias("lon"),
+        F.round(F.try_element_at("ys", F.lit(1)), 6).alias("lat"),
+    )
+
+
+SQL_OSM_SARGABLE_SCAN = """
+SELECT c_custkey AS osm_id,
+       CASE WHEN c_custkey % 4 = 0 THEN 'school' ELSE 'cafe' END AS amenity,
+       round((((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05), 6) AS lon,
+       round((((c_custkey * 13) % 1600) / 10.0 - 80.0 + 0.05), 6) AS lat
+FROM customer WHERE c_custkey < 2500 AND c_custkey % 4 IN (0, 1)
+"""
+
+
 QUERIES = {
     # text / dedup
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
@@ -2296,6 +2444,11 @@ QUERIES = {
     "osm_tile_table": (q_osm_tile_table, SQL_OSM_TILE_TABLE),
     "osm_tile_pack_bounded": (q_osm_tile_pack_bounded, SQL_OSM_TILE_PACK_BOUNDED),
     "osm_tile_antimeridian": (q_osm_tile_antimeridian, SQL_OSM_TILE_ANTIMERIDIAN),
+    "osm_incremental_export": (
+        q_osm_incremental_export,
+        SQL_OSM_INCREMENTAL_EXPORT,
+    ),
+    "osm_sargable_scan": (q_osm_sargable_scan, SQL_OSM_SARGABLE_SCAN),
     "osm_tile_bigfeature": (q_osm_tile_bigfeature, SQL_OSM_TILE_BIGFEATURE),
     "osm_tile_polygon_fill": (q_osm_tile_polygon_fill, SQL_OSM_TILE_POLYGON_FILL),
     "osm_partition_pruned_read": (

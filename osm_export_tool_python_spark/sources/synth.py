@@ -258,12 +258,25 @@ def _rel_rows(ids, n_ways):
     return rows
 
 
-def synthesize(spark, n_nodes=10000, n_ways=2000, n_rels=100, partitions=None):
+def synthesize(
+    spark, n_nodes=10000, n_ways=2000, n_rels=100, partitions=None, hot_keys=()
+):
     """Distributed deterministic documents table.  Entities are encoded
     into one `spark.range` id space: [0,n_nodes) nodes, then ways, then
-    relations."""
+    relations.
+
+    `hot_keys` models an INGEST-time sargable projection (the Iceberg
+    writer's job in production): each named tag key is additionally
+    materialized as a top-level nullable string column ``hk_<key>`` =
+    the entity's value for that key — plain columns reach parquet
+    min/max + dictionary stats, so theme predicates routed through
+    them (functions/sargable.py) prune row groups at the scan."""
     import pandas as pd  # noqa: F401
 
+    from ..functions.sargable import hot_column
+
+    hot_cols = [(k, hot_column(k), k + "=") for k in hot_keys]
+    schema = SPAN_SCHEMA + "".join(", %s string" % c for _k, c, _p in hot_cols)
     total = n_nodes + n_ways + n_rels
     rng = spark.range(0, total, 1, partitions or spark.sparkContext.defaultParallelism)
 
@@ -282,8 +295,19 @@ def synthesize(spark, n_nodes=10000, n_ways=2000, n_rels=100, partitions=None):
                 rows += _rel_rows(rel_ids.tolist(), n_ways)
             import pandas as pd
 
-            yield pd.DataFrame(
-                {"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]}
-            )
+            data = {"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]}
+            for _k, col, pref in hot_cols:
+                data[col] = [
+                    next(
+                        (
+                            s["text"][len(pref):]
+                            for s in spans
+                            if s["kind"] == "tag" and s["text"].startswith(pref)
+                        ),
+                        None,
+                    )
+                    for _d, spans in rows
+                ]
+            yield pd.DataFrame(data)
 
-    return rng.mapInPandas(gen, schema=SPAN_SCHEMA)
+    return rng.mapInPandas(gen, schema=schema)

@@ -57,3 +57,41 @@ def read_aoi_pruned(
     prune = sorted(aoi.prune_cells(zoom))
     df = spark.read.parquet(path).where(F.col("cell_prefix").isin(prune))
     return df.dropDuplicates(list(dedupe))
+
+
+def write_hotkey_clustered(docs: DataFrame, path: str, hot_keys) -> None:
+    """Materialize a documents table CLUSTERED by its hot-key columns
+    (range-repartition + within-partition sort) so each parquet row
+    group's min/max on ``hk_<key>`` spans a narrow value range — the
+    write-side half of sargable pushdown (functions/sargable.py).  On
+    Iceberg this is `write.distribution-mode=range` + a sort order;
+    here the same two mechanisms, spelled out.
+
+    Key ORDER matters exactly like a sort order: ranges are carved on
+    the first key, so min/max pruning is strongest there — put the
+    most-filtered key first (secondary keys only prune within ties)."""
+    from ..functions.sargable import hot_column
+
+    cols = [hot_column(k) for k in hot_keys]
+    n = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    docs.repartitionByRange(n, *cols).sortWithinPartitions(*cols).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_theme_candidates(spark, path: str, mapping) -> DataFrame:
+    """Scan the documents table with the mapping's necessary condition
+    over whatever hk_ columns the table carries — Catalyst pushes it
+    into the scan (PushedFilters), and row groups whose stats exclude
+    every theme are never decompressed.  Returns the unfiltered scan
+    when the mapping references no materialized hot key.
+
+    Soundness contract (functions/sargable.py): the result contains
+    every document that can become a THEMED FEATURE through its own
+    tags; geometry-only documents (nodes referenced by ways, member
+    ways) may be absent — join those from an unfiltered scan."""
+    from ..functions.sargable import theme_candidate_condition
+
+    df = spark.read.parquet(path)
+    cond = theme_candidate_condition(mapping, df.columns)
+    return df.where(cond) if cond is not None else df

@@ -51,9 +51,16 @@ def stream_documents(spark, input_dir: str, max_files_per_trigger: int = None) -
     return reader.parquet(input_dir)
 
 
-def incremental_point_features(doc_stream: DataFrame, mapping) -> DataFrame:
+def incremental_point_features(
+    doc_stream: DataFrame, mapping, select_keys: bool = True
+) -> DataFrame:
     """Streaming point-feature extraction: decode tags + node coords,
-    theme fan-out — append-mode safe (no aggregation)."""
+    theme fan-out — append-mode safe (no aggregation).
+
+    `select_keys=True` additionally projects the union of the
+    mapping's select keys as NULL-padded top-level columns (the batch
+    `theme_output` row shape, reference tabular.py:71-79), so the
+    streamed sink is directly consumable without the tags map."""
     from ..operators.themes import theme_fanout
     from ..sources import decode
 
@@ -69,7 +76,14 @@ def incremental_point_features(doc_stream: DataFrame, mapping) -> DataFrame:
         F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("ring_offsets"),
         F.array(F.lit(0), F.lit(1)).cast("array<int>").alias("part_offsets"),
     )
-    return theme_fanout(feats, mapping)
+    themed = theme_fanout(feats, mapping)
+    if select_keys:
+        keys = sorted({k for t in mapping.themes for k in t.keys})
+        themed = themed.select(
+            "*",
+            *[F.try_element_at("tags", F.lit(kk)).alias(kk) for kk in keys],
+        )
+    return themed
 
 
 def run_incremental_export(
