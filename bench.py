@@ -46,8 +46,12 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path):
     ).parquet(path)
 
 
-def osm_pipeline_counts(spark, docs_path):
+def osm_pipeline_counts(spark, docs_path, exact_tiles=True):
     """The timed headline pipeline; returns (features, tiles) counts.
+    `exact_tiles=False` swaps the intersection-exact tile kernel for
+    the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
+    --ab-tiles uses to separate the exact kernel's genuine cost from
+    VM drift in cross-round wall comparisons.
 
     Lineage-truncation shape (`checkpoint=True` + localCheckpoint of
     the themed frame): each materialized intermediate becomes a flat
@@ -85,7 +89,7 @@ def osm_pipeline_counts(spark, docs_path):
         deduped = themed.repartition(nparts, "osm_id", "src").dropDuplicates(
             ["osm_id", "src"]
         )
-        n_tiles = tile_counts(deduped, 2, 8).count()
+        n_tiles = tile_counts(deduped, 2, 8, exact=exact_tiles).count()
     finally:
         lineage.release(themed, *feats._persisted_intermediates)
     return n_features, n_tiles

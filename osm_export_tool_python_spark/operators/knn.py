@@ -110,6 +110,25 @@ def knn_join(
     )
     if radius_m is not None:
         pairs = pairs.where(F.col("dist_m") <= radius_m)
+    if k == 1:
+        # nearest-neighbor (the dedup path's shape): min(struct) is a
+        # partial-aggregable reduction — map-side combine collapses
+        # each partition's candidates to ONE row per id before the
+        # shuffle, where the window form shuffles and SORTS every
+        # candidate pair.  Struct ordering is field-wise, so
+        # (dist_m, neighbor_id) reproduces the window's exact
+        # tie-break.
+        m = F.min(F.struct(F.col("dist_m"), F.col("neighbor_id"))).alias("m")
+        return (
+            pairs.groupBy("id")
+            .agg(m)
+            .select(
+                "id",
+                F.col("m.neighbor_id").alias("neighbor_id"),
+                F.col("m.dist_m").alias("dist_m"),
+                F.lit(1).alias("rank"),
+            )
+        )
     w = Window.partitionBy("id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -82,13 +82,19 @@ def _session(mode: str, cpus: int):
 
 
 def child(mode: str, cpus: int, docs_path: str, runs: int = None):
-    from bench import osm_pipeline_counts, prepare_osm_input
+    from bench import osm_pipeline_counts, prepare_osm_input, vm_probe
 
     spark = _session(mode, cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # warmup (JIT + arrow workers), untimed
     prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
     osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
+
+    # deterministic CPU probe INSIDE the pinned child (VERDICT r4 #2a):
+    # runs under the same taskset envelope as the timed pipeline, so
+    # cross-round walls can be probe-normalized per level.  Measured
+    # before the timed runs (the JVM is idle after warmup).
+    probe = vm_probe(cpus)
 
     best = None
     for _ in range(runs or RUNS_PER_LEVEL.get((mode, cpus), 1)):
@@ -100,7 +106,81 @@ def child(mode: str, cpus: int, docs_path: str, runs: int = None):
     print(
         "CHILD_RESULT " + json.dumps(
             {"mode": mode, "cpus": cpus, "sec": round(best[0], 3),
-             "features": best[1], "tiles": best[2]}
+             "features": best[1], "tiles": best[2], "vm_probe": probe}
+        )
+    )
+    spark.stop()
+
+
+def ab_tiles(reuse: bool = False):
+    """Exact-vs-bbox tile assignment A/B at the stretch scale
+    (VERDICT r4 #2b): SAME session, PAIRED alternating order
+    (exact, bbox, exact, bbox), pinned local[STRETCH_CPUS] — the
+    only difference between arms is the tile-assignment kernel, so
+    the wall delta is the exact kernel's genuine cost, independent of
+    VM drift (which moves both arms together).  Writes
+    BENCH/AB_TILES.json."""
+    if not reuse or not os.path.exists(STRETCH_DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, STRETCH_NODES, STRETCH_WAYS, STRETCH_RELS,
+                          STRETCH_DOCS_PATH)
+        spark.stop()
+    out = subprocess.run(
+        ["taskset", "-c", "0-%d" % (STRETCH_CPUS - 1), sys.executable,
+         os.path.abspath(__file__), "--ab-tiles-child", str(STRETCH_CPUS),
+         STRETCH_DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AB_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("ab-tiles child failed")
+    rec = json.loads(line[-1][len("AB_RESULT "):])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_TILES.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+def ab_tiles_child(cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, prepare_osm_input, vm_probe
+
+    spark = _session("jvm", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup", exact_tiles=False)
+    probe = vm_probe(cpus)
+
+    walls = {"exact": [], "bbox": []}
+    counts = {}
+    for _round in range(2):
+        for arm, exact in (("exact", True), ("bbox", False)):
+            t0 = time.perf_counter()
+            nf, nt = osm_pipeline_counts(spark, docs_path, exact_tiles=exact)
+            walls[arm].append(round(time.perf_counter() - t0, 3))
+            counts[arm] = {"features": nf, "tiles": nt}
+    best_e, best_b = min(walls["exact"]), min(walls["bbox"])
+    print(
+        "AB_RESULT " + json.dumps(
+            {
+                "protocol": "pinned local[%d], one session, paired alternating "
+                            "(exact, bbox) x2, best-of-2 per arm" % cpus,
+                "docs_path": docs_path,
+                "cpus": cpus,
+                "walls": walls,
+                "exact_sec": best_e,
+                "bbox_sec": best_b,
+                "exact_over_bbox": round(best_e / best_b, 3),
+                "counts": counts,
+                "vm_probe": probe,
+            }
         )
     )
     spark.stop()
@@ -205,6 +285,9 @@ def stretch(reuse: bool = False):
         "features": r["features"],
         "tiles": r["tiles"],
         "features_per_sec": round(r["features"] / r["sec"], 1),
+        # pinned in-child CPU probe: divide cross-round stretch walls
+        # by the probe ratio before comparing engines across rounds
+        "vm_probe": r.get("vm_probe"),
         "skew": {
             "unsalted": {"keys": u_n, "max": u_mx, "median": u_med},
             "salted16": {"keys": s_n, "max": s_mx, "median": s_med},
@@ -218,6 +301,7 @@ def stretch(reuse: bool = False):
             "sec": r32["sec"],
             "features": r32["features"],
             "features_per_sec": round(r32["features"] / r32["sec"], 1),
+            "vm_probe": r32.get("vm_probe"),
             "efficiency_8_to_32": round(
                 (r32["features"] / r32["sec"]) / (r["features"] / r["sec"]) / 4.0, 3
             ),
@@ -236,6 +320,12 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stretch":
         stretch(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-tiles":
+        ab_tiles(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-tiles-child":
+        ab_tiles_child(int(sys.argv[2]), sys.argv[3])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--report-only":
         # re-render BENCH/BASELINE.md from the persisted level results
