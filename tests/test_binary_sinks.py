@@ -313,6 +313,29 @@ def test_mbtiles_writer_unit(tmp_path):
     con.close()
 
 
+def test_mbtiles_payload_carries_overflow(tmp_path):
+    """Bounded tile packing: a truncated row's n_overflow lands in the
+    tile payload (never silent); complete rows omit the key."""
+    path = str(tmp_path / "o.mbtiles")
+    tiles = [
+        {"z": 1, "x": 0, "y": 0, "n_features": 9, "osm_ids": [1, 2], "n_overflow": 7},
+        {"z": 1, "x": 1, "y": 0, "n_features": 2, "osm_ids": [3, 4], "n_overflow": 0},
+    ]
+    assert bs.write_mbtiles(path, tiles, (-10.0, -5.0, 10.0, 5.0), 1, 1) == 2
+    import json as j
+
+    con = sqlite3.connect(path)
+    rows = dict(
+        (c, j.loads(d))
+        for _z, c, _r, d in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+        ).fetchall()
+    )
+    con.close()
+    assert rows[0] == {"n": 9, "osm_ids": [1, 2], "n_overflow": 7}
+    assert rows[1] == {"n": 2, "osm_ids": [3, 4]}
+
+
 def test_export_tiles_mbtiles_and_package(spark, tmp_path_factory):
     """export(formats=('tiles','gpkg')) produces a real .mbtiles whose
     tile set equals the parquet tile table (modulo the TMS row flip),
