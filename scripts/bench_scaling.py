@@ -525,14 +525,36 @@ Salting bounds the largest shuffle task by ~16× on hot cells while the
 final per-cell merge (operators/tiles.tile_features) reproduces exactly
 the unsalted contents (verified in tests/test_tiles.py).
 """
+    ab_path = os.path.join(REPO, "BENCH", "AB_TILES.json")
+    if os.path.exists(ab_path):
+        ab = json.load(open(ab_path))
+        report += f"""
+## Exact-vs-bbox tile assignment A/B at stretch scale
+
+{ab["protocol"]} on the 48.4M-doc stretch input:
+exact **{ab["exact_sec"]} s** vs bbox **{ab["bbox_sec"]} s** →
+exact/bbox = **{ab["exact_over_bbox"]}×** (walls: exact {ab["walls"]["exact"]},
+bbox {ab["walls"]["bbox"]}; in-child pinned probe
+sha_1t {ab["vm_probe"]["sha_1t_sec"]} s).  Both arms share one session
+and alternate, so VM drift moves them together — the ratio is the
+exact kernel's genuine cost over the pure-Column bbox cover, the
+number that separates algorithmic cost from VM drift in cross-round
+wall comparisons (VERDICT r4 #2).
+"""
+
     stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
     if os.path.exists(stretch_path):
         s = json.load(open(stretch_path))
+        probe_note = (
+            " (in-child pinned probe sha_1t %s s)" % s["vm_probe"]["sha_1t_sec"]
+            if s.get("vm_probe")
+            else ""
+        )
         report += f"""
 ## STRETCH: 2× documents at fixed pinned local[{s["cpus"]}]
 
 {s["docs"]:,} documents, {s["protocol"]}: {s["sec"]} s for
-{s["features"]:,} themed features = {s["features_per_sec"]:,} features/sec
+{s["features"]:,} themed features = {s["features_per_sec"]:,} features/sec{probe_note}
 (recorded by `scripts/bench_scaling.py --stretch` into
 `BENCH/STRETCH.json`; embedded in BENCH_r*.json as `stretch_2x_local8`).
 Skew at 2×: unsalted max {s["skew"]["unsalted"]["max"]:,} rows/key →
