@@ -33,6 +33,17 @@ structure, not coverage.  INVALID AOIs (self-intersecting rings,
 rings whose boundaries cross) are refused by the decomposers and fall
 back to the conservative keep-uncut policy: non-intersecting features
 still drop exactly, boundary-crossing geometries stay uncut.
+
+Antimeridian contract: clipping operates in raw lon/lat, like the
+reference (shapely on raw coordinates, tabular.py) — an AOI or
+feature crossing ±180° must be split at the boundary upstream (the
+standard GeoJSON RFC 7946 §3.1.9 convention, which real-world AOI
+files follow).  Segments of a ±180-crossing FEATURE are interpreted
+literally (a straight chord in lon/lat), exactly as the reference
+does; the tile-assignment path (operators/tiles.py) is the layer
+that resolves wrapped segments into short arcs, because tile ids —
+unlike clip results — are globally indexed and a wrong band there
+poisons the packed table.
 """
 
 from __future__ import annotations

@@ -1906,18 +1906,21 @@ FROM vals GROUP BY i, kind
 # ---------------------------------------------------------------------------
 
 def q_osm_tile_bigfeature(spark, sf_dir):
-    """Exact tile membership for a feature whose bbox cover (35,568
-    tiles at z8) vastly exceeds the tiles its geometry crosses (383):
+    """Exact tile membership for a feature whose bbox cover (19,968
+    tiles at z8) vastly exceeds the tiles its geometry crosses (283):
     the case the old bbox path silently DROPPED (capped at 256) and
     bbox cover would massively over-assign.  The supercover traversal
     (operators/tiles.py with_tile_cells_exact) emits exactly the
     crossed tiles; the oracle derives the same set in closed form —
     endpoint tiles + every lon-boundary crossing + every mercator
-    lat-boundary crossing of the straight lon/lat segment."""
+    lat-boundary crossing of the straight lon/lat segment.  The chord
+    spans Δlon 179.5° — deliberately UNDER 180, because round 5's
+    antimeridian contract interprets |Δlon| > 180 as the short arc
+    across ±180 (`osm_tile_antimeridian` gates that path)."""
     from ..operators.tiles import decode_cell_cols, with_tile_cells_exact
 
     df = spark.createDataFrame(
-        [(1, "way", "line", [-170.03, 150.41], [-75.17, 70.23], [0, 2])],
+        [(1, "way", "line", [-170.03, 9.5], [-75.17, 70.23], [0, 2])],
         "osm_id long, src string, geom_type string, "
         "xs array<double>, ys array<double>, ring_offsets array<int>",
     )
@@ -1927,7 +1930,7 @@ def q_osm_tile_bigfeature(spark, sf_dir):
 
 SQL_OSM_TILE_BIGFEATURE = """
 WITH ep AS (
-  SELECT -170.03 AS lon0, -75.17 AS lat0, 150.41 AS lon1, 70.23 AS lat1, 256.0 AS n
+  SELECT -170.03 AS lon0, -75.17 AS lat0, 9.5 AS lon1, 70.23 AS lat1, 256.0 AS n
 ), tc AS (
   SELECT *,
          (lon0 + 180.0) / 360.0 * n AS tx0,
@@ -2082,6 +2085,61 @@ ranked AS (
   FROM q JOIN v ON v.id % 4 = q.id % 4 AND v.id <> q.id
 )
 SELECT query_id, vec_id, CAST(1.0 AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_embed_pq_adc(spark, sf_dir):
+    """Product-quantized ANN (IVF-PQ's storage half) in the LOSSLESS
+    regime, provably equal to exact inner-product search: 8-dim
+    vectors whose 2-dim subvectors draw from a ≤6-word integer
+    vocabulary per subspace, codebooks = the exact vocabulary
+    (PQIndex.fit_lossless), so encoding loses nothing and every ADC
+    score is a small-integer dot product — exact in IEEE arithmetic
+    in both engines, ties resolved by vec_id in both.  Exercises the
+    full machinery: Spark-side distinct-subvector codebook build, the
+    one vectorized encode crossing, the broadcast LUT join, and the
+    pure-Column zip_with/aggregate ADC scoring (plan-gated JVM-only in
+    tests/test_similarity.py)."""
+    from ..operators.similarity import PQIndex
+
+    k = F.col("c_custkey")
+    cols = []
+    for j in range(4):
+        cols.append((k * (j + 1) % 3).cast("double"))
+        cols.append(((k + j) % 2).cast("double"))
+    vecs = (
+        _t(spark, sf_dir, "customer")
+        .where(k < 300)
+        .select(k.cast("long").alias("vec_id"), F.array(*cols).alias("embedding"))
+    )
+    pq = PQIndex.fit_lossless(vecs, m=4)
+    enc = pq.encode(vecs)
+    out = pq.topk(enc, vecs.where(F.col("vec_id") < 12), k=5)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+SQL_EMBED_PQ_ADC = """
+WITH v AS (
+  SELECT c_custkey AS id,
+         CAST(c_custkey * 1 % 3 AS DOUBLE) AS e0, CAST(c_custkey % 2 AS DOUBLE) AS e1,
+         CAST(c_custkey * 2 % 3 AS DOUBLE) AS e2, CAST((c_custkey + 1) % 2 AS DOUBLE) AS e3,
+         CAST(c_custkey * 3 % 3 AS DOUBLE) AS e4, CAST((c_custkey + 2) % 2 AS DOUBLE) AS e5,
+         CAST(c_custkey * 4 % 3 AS DOUBLE) AS e6, CAST((c_custkey + 3) % 2 AS DOUBLE) AS e7
+  FROM customer WHERE c_custkey < 300
+), q AS (SELECT * FROM v WHERE id < 12),
+scored AS (
+  SELECT q.id AS query_id, v.id AS vec_id,
+         q.e0*v.e0 + q.e1*v.e1 + q.e2*v.e2 + q.e3*v.e3 +
+         q.e4*v.e4 + q.e5*v.e5 + q.e6*v.e6 + q.e7*v.e7 AS score
+  FROM q JOIN v ON v.id <> q.id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(score AS DOUBLE) AS score, CAST(rnk AS INT) AS rank
 FROM ranked WHERE rnk <= 5
 """
 
@@ -2457,6 +2515,7 @@ QUERIES = {
     ),
     "minhash_xx_dedup": (q_minhash_xx_dedup, SQL_MINHASH_XX_DEDUP),
     "embed_ivf_probe1": (q_embed_ivf_probe1, SQL_EMBED_IVF_PROBE1),
+    "embed_pq_adc": (q_embed_pq_adc, SQL_EMBED_PQ_ADC),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }
