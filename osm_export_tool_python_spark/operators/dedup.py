@@ -114,7 +114,7 @@ def minhash_signature_table(
     )
 
 
-def lsh_candidate_pairs(
+def banded_signature_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -122,11 +122,15 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs from banded minhash LSH.
-    Docs agreeing on ALL rows of any band share a bucket."""
+    """(id, band, bucket) — one row per (doc, band); bucket is the
+    xxhash64 of the band's signature rows.  This is the frame the LSH
+    self-join runs on, and the frame to PERSIST BUCKETED
+    (sources/tables.write_bucketed on (band, bucket)) when the corpus
+    index is reused: every later candidate join against it is then
+    exchange-free (see band_self_join)."""
     rows = n_hashes // bands
     sig = minhash_signature_table(df, id_col, text_col, n_hashes, shingle_n)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -139,6 +143,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def band_self_join(banded: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from a (id, band, bucket)
+    table: docs sharing any (band, bucket) pair up.  When `banded` is
+    a table persisted with write_bucketed(..., "band", "bucket") the
+    join is EXCHANGE-FREE — both sides arrive pre-hashed into the same
+    bucket files, so the widest shuffle of the dedup pipeline (full
+    band-table, both sides) disappears from every rerun/incremental
+    pass (plan-gated in tests/test_text_dedup.py)."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -146,6 +160,21 @@ def lsh_candidate_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded minhash LSH.
+    Docs agreeing on ALL rows of any band share a bucket."""
+    return band_self_join(
+        banded_signature_table(df, id_col, text_col, n_hashes, bands, shingle_n)
     )
 
 

@@ -2144,6 +2144,57 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_lsh_bucketed_join(spark, sf_dir):
+    """Exchange-free LSH candidate join over a BUCKETED band table
+    (the reusable-dedup-index shape): a closed-form (id, band, bucket)
+    table — for key k and band b∈0..3, bucket = (k·(b+3)) mod 40 — is
+    persisted with sources/tables.write_bucketed on (band, bucket),
+    then self-joined via operators/dedup.band_self_join.  Both join
+    inputs arrive co-partitioned and pre-sorted from the bucket files
+    (zero exchange below the join — plan-gated in
+    tests/test_text_dedup.py); the oracle computes the identical
+    distinct pair set directly from the bucket formula."""
+    from ..operators.dedup import band_self_join
+    from ..sources.tables import write_bucketed
+
+    k = F.col("c_custkey")
+    banded = (
+        _t(spark, sf_dir, "customer")
+        .where(k < 600)
+        .select(k.cast("long").alias("id"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            ((F.col("id") * (b + 3)) % 40).alias("bucket"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("id", "s.band", "s.bucket")
+    )
+    spark.sql("DROP TABLE IF EXISTS lsh_band_gate")
+    write_bucketed(banded, "lsh_band_gate", 8, "band", "bucket")
+    return band_self_join(spark.table("lsh_band_gate"))
+
+
+SQL_LSH_BUCKETED_JOIN = """
+WITH ids AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 600),
+banded AS (
+  SELECT id, b AS band, (id * (b + 3)) % 40 AS bucket
+  FROM ids, UNNEST(generate_series(0, 3)) t(b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
 def q_osm_partition_pruned_read(spark, sf_dir):
     """The Iceberg-style cell-prefix partition layout end to end:
     write customer points partitioned by their z4 quadkey cell
@@ -2516,6 +2567,7 @@ QUERIES = {
     "minhash_xx_dedup": (q_minhash_xx_dedup, SQL_MINHASH_XX_DEDUP),
     "embed_ivf_probe1": (q_embed_ivf_probe1, SQL_EMBED_IVF_PROBE1),
     "embed_pq_adc": (q_embed_pq_adc, SQL_EMBED_PQ_ADC),
+    "lsh_bucketed_join": (q_lsh_bucketed_join, SQL_LSH_BUCKETED_JOIN),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }

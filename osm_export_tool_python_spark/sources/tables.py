@@ -95,3 +95,31 @@ def read_theme_candidates(spark, path: str, mapping) -> DataFrame:
     df = spark.read.parquet(path)
     cond = theme_candidate_condition(mapping, df.columns)
     return df.where(cond) if cond is not None else df
+
+
+def write_bucketed(
+    df: DataFrame, table: str, buckets: int, *keys: str, sort: bool = True
+) -> None:
+    """Persist `df` as a Spark BUCKETED table on `keys`: rows are
+    hash-partitioned into `buckets` files per write-partition and
+    (with sort=True) sorted within each bucket.  Any later equi-join
+    or aggregation keyed on `keys` between tables bucketed the same
+    way is EXCHANGE-FREE — the scan itself delivers co-partitioned
+    (and pre-sorted) input, so the shuffle that would normally carry
+    both full sides simply never happens.  On Iceberg the same layout
+    is a `bucket(N, col)` partition transform; here it is Spark's
+    native bucketed-table DDL (works on the built-in session catalog —
+    no Hive needed).
+
+    This is the storage half of the reusable-dedup-index story: write
+    the (id, band, bucket) band table once
+    (operators/dedup.banded_signature_table), and every rerun or
+    incremental batch joins against it with zero exchange on the
+    corpus side (operators/dedup.band_self_join; plan gate in
+    tests/test_text_dedup.py).  At the 100 TB target the band table is
+    the widest frame the dedup pipeline ever shuffles — bucketing it
+    converts that per-run cost into a one-time write-side sort."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)

@@ -420,3 +420,41 @@ def test_seq_pack_greedy_zero_token_doc_matches_oracle_recurrence(spark):
         for r in seq_pack_greedy(docs, budget=256, n_shards=1).collect()
     }
     assert got == {0: 0, 2: 1, 4: 2}
+
+
+def test_band_self_join_bucketed_is_exchange_free(spark, docs):
+    """The reusable-dedup-index shape: the (id, band, bucket) table
+    persisted BUCKETED on the join keys (sources/tables.write_bucketed)
+    self-joins with NO exchange on either side — the widest shuffle of
+    the dedup pipeline (full band table, both sides) is gone; only the
+    small post-join distinct still exchanges.  Results must equal the
+    computed (unbucketed) path exactly."""
+    from osm_export_tool_python_spark.sources.tables import write_bucketed
+
+    banded = D.banded_signature_table(docs)
+    spark.sql("DROP TABLE IF EXISTS t_band_bucketed")
+    write_bucketed(banded, "t_band_bucketed", 8, "band", "bucket")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange hashpartitioning"
+            )
+
+        bucketed = D.band_self_join(spark.table("t_band_bucketed"))
+        computed = D.band_self_join(banded)
+        # computed: 2 join-input exchanges + 1 distinct; bucketed: the
+        # join inputs arrive co-partitioned from the bucket files, so
+        # ONLY the distinct's exchange remains
+        assert n_exchanges(bucketed) == 1, bucketed._jdf.queryExecution(
+        ).executedPlan().toString()
+        # computed path: join-input exchanges + the signature pipeline's
+        # own (fan-out, groupBy-min) — strictly more than the distinct-only
+        assert n_exchanges(computed) >= 3
+        got = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+        ref = {(r["id_a"], r["id_b"]) for r in computed.collect()}
+        assert got == ref and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_band_bucketed")
