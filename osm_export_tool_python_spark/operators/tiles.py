@@ -413,56 +413,70 @@ def exact_cells_batch(
     fpt = ring_a[ring_nonempty]
     fpt_feat = ring_feat[ring_nonempty]
 
+    # traverse ONCE at max_zoom; every coarser zoom follows by bit-
+    # shifting the tile coordinates.  XYZ tiles nest exactly (the
+    # children of (z, x, y) are the (z+1, X, Y) with X>>1 == x and
+    # Y>>1 == y, and they PARTITION the parent), so a geometry
+    # intersects a coarse tile iff it intersects one of its max_zoom
+    # descendants: the coarse tile set IS the shifted fine set.  This
+    # replaces (max_zoom - min_zoom) extra supercover/fill traversals
+    # with shift+dedup passes over a set that shrinks ~4× per level —
+    # the traversal work is geometric in zoom, so the saving is ~½ of
+    # the supercover and ~¼ of the fill, and the returned arrays are
+    # fully deduped (smaller Arrow transfer back).
+    n = float(2**max_zoom)
+    nmax = (1 << max_zoom) - 1
+    f, tx, ty = _segment_supercover(seg_feat, lon0, lat0, lon1, lat1, max_zoom)
+    base_f, base_x, base_y = [f], [tx.astype(np.uint64)], [ty.astype(np.uint64)]
+    # first-point tile per nonempty ring (1-point/degenerate parts)
+    base_f.append(fpt_feat)
+    base_x.append(
+        np.clip(np.floor((flat_x[fpt] + 180.0) / 360.0 * n), 0, nmax).astype(np.uint64)
+    )
+    base_y.append(np.clip(np.floor(_merc_yf(flat_y[fpt], n)), 0, nmax).astype(np.uint64))
+    if poly_seg.any():
+        f, kx, ky = _polygon_fill(
+            seg_feat[poly_seg],
+            lon0[poly_seg],
+            lat0[poly_seg],
+            lon1[poly_seg],
+            lat1[poly_seg],
+            max_zoom,
+        )
+        if len(f):
+            base_f.append(f)
+            base_x.append(kx.astype(np.uint64))
+            base_y.append(ky.astype(np.uint64))
+    zf = np.concatenate(base_f)
+    zx = np.concatenate(base_x)
+    zy = np.concatenate(base_y)
+
+    def _dedup(f, x, y):
+        order = np.lexsort((y, x, f))
+        f, x, y = f[order], x[order], y[order]
+        if len(f):
+            uniq = np.empty(len(f), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (f[1:] != f[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+            f, x, y = f[uniq], x[uniq], y[uniq]
+        return f, x, y
+
     out_feat, out_cell = [], []
-    for z in range(min_zoom, max_zoom + 1):
-        n = float(2**z)
-        nmax = (1 << z) - 1
-        f, tx, ty = _segment_supercover(seg_feat, lon0, lat0, lon1, lat1, z)
-        out_feat.append(f)
-        out_cell.append(
-            cell_from_zxy(z, tx.astype(np.uint64), ty.astype(np.uint64)).astype(np.int64)
-        )
-        # first-point tile per nonempty ring (1-point/degenerate parts)
-        px = np.clip(
-            np.floor((flat_x[fpt] + 180.0) / 360.0 * n), 0, nmax
-        ).astype(np.uint64)
-        py = np.clip(np.floor(_merc_yf(flat_y[fpt], n)), 0, nmax).astype(
-            np.uint64
-        )
-        out_feat.append(fpt_feat)
-        out_cell.append(cell_from_zxy(z, px, py).astype(np.int64))
-        if poly_seg.any():
-            f, kx, ky = _polygon_fill(
-                seg_feat[poly_seg],
-                lon0[poly_seg],
-                lat0[poly_seg],
-                lon1[poly_seg],
-                lat1[poly_seg],
-                z,
-            )
-            if len(f):
-                out_feat.append(f)
-                out_cell.append(
-                    cell_from_zxy(z, kx.astype(np.uint64), ky.astype(np.uint64)).astype(
-                        np.int64
-                    )
-                )
+    zf, zx, zy = _dedup(zf, zx, zy)
+    for z in range(max_zoom, min_zoom - 1, -1):
+        out_feat.append(zf)
+        out_cell.append(cell_from_zxy(z, zx, zy).astype(np.int64))
+        if z > min_zoom:
+            zf, zx, zy = _dedup(zf, zx >> np.uint64(1), zy >> np.uint64(1))
 
     feat = np.concatenate(out_feat)
     cell = np.concatenate(out_cell)
-    if dedupe:
-        order = np.lexsort((cell, feat))
-        feat, cell = feat[order], cell[order]
-        uniq = np.empty(len(feat), dtype=bool)
-        if len(feat):
-            uniq[0] = True
-            uniq[1:] = (feat[1:] != feat[:-1]) | (cell[1:] != cell[:-1])
-        feat, cell = feat[uniq], cell[uniq]
-    else:
-        # group by feature only (stable counting sort via argsort on
-        # small-int keys); duplicates stay — the caller dedupes
-        order = np.argsort(feat, kind="stable")
-        feat, cell = feat[order], cell[order]
+    # per-level dedup above makes (feat, cell) globally unique — cell
+    # ids encode the zoom, so levels never collide; both dedupe modes
+    # now return deduped cells and only need the feature grouping
+    # (`dedupe` kept for API compatibility)
+    order = np.argsort(feat, kind="stable")
+    feat, cell = feat[order], cell[order]
     counts = np.bincount(feat, minlength=nfeat)
     splits = np.split(cell, np.cumsum(counts)[:-1])
     return [np.asarray(s, dtype=np.int64) for s in splits]
