@@ -302,11 +302,12 @@ def exact_cells_batch(
     """Per-feature exact tile cells across zooms for one Arrow batch.
     Returns a list of np.int64 arrays (cells per feature).
 
-    `dedupe=False` skips the per-batch (feature, cell) sort and may
-    return duplicate cells within a feature — the Spark wrapper passes
-    False and dedupes JVM-side with `array_distinct` (hash-set per
-    row), which benchmarks ~2× cheaper than a numpy lexsort over the
-    multi-million-row flat cell array at scale."""
+    Output cells are ALWAYS deduped per feature since the shift-derive
+    rewrite: the per-level dedup is what lets each coarser zoom reuse
+    the previous level's (shrinking) set, so uniqueness falls out for
+    free and only the max_zoom raw emission is ever sorted at full
+    size.  `dedupe` is kept for API compatibility (both values return
+    identical, deduped output)."""
     nfeat = len(xs_list)
     lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=nfeat)
     total = int(lens.sum())
@@ -495,9 +496,8 @@ def exact_cells_udf(min_zoom: int, max_zoom: int):
         geom_type: pd.Series, xs: pd.Series, ys: pd.Series, ring_offsets: pd.Series
     ) -> pd.Series:
         # null inputs (rows routed to the pure-Column path) cost
-        # nothing; duplicates are left in (dedupe=False) — the caller
-        # wraps with array_distinct, keeping the expensive dedup sort
-        # JVM-side
+        # nothing; output is deduped by the kernel's per-level shift
+        # chain, so no JVM-side distinct is needed downstream
         out = exact_cells_batch(
             ["" if g is None else g for g in geom_type.tolist()],
             [empty if x is None else x for x in xs.tolist()],
@@ -554,7 +554,9 @@ def with_tile_cells_exact(features: DataFrame, min_zoom: int, max_zoom: int) -> 
             tile_y_col(F.array_min("ys"), z),
         ),
     )
-    cells = F.when(single, single_cells).otherwise(F.array_distinct(kernel_cells))
+    # kernel output is already deduped (per-level shift chain), so no
+    # array_distinct pass is needed here
+    cells = F.when(single, single_cells).otherwise(kernel_cells)
     return features.withColumn("cell", F.explode(cells))
 
 

@@ -543,13 +543,17 @@ wall comparisons (VERDICT r4 #2).
 
 Applying it to the open r3→r4 question (stretch local[8] wall 534.9 s
 → 1,018.8 s at identical 5,930,068-feature output, a 1.90× jump that
-confounded the exact-kernel swap with VM drift): the exact kernel's
-measured share is {ab["exact_over_bbox"]}×, leaving
-{round(1018.76 / 534.9 / ab["exact_over_bbox"], 3)}× attributable to
-VM condition — inside the documented ~1.6× drift envelope.  The r3→r4
-doubling is therefore explained: ~40% real algorithmic cost (buying
+confounded the exact-kernel swap with VM drift): the r4-era exact
+kernel's measured share was **1.407×** (paired A/B, exact 969.6 s vs
+bbox 689.2 s — the historical constant for that round's code), leaving
+{round(1018.76 / 534.9 / 1.407, 3)}× attributable to VM condition —
+inside the documented ~1.6× drift envelope.  The r3→r4 doubling is
+therefore explained: ~40% real algorithmic cost (buying
 intersection-exact tile membership, no silent drops), the rest
-machine drift.
+machine drift.  The A/B figures above are re-measured each round with
+the then-current kernel — round 5's traverse-once/shift-derive
+rewrite (operators/tiles.exact_cells_batch) attacks exactly this
+premium.
 """
 
     stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
