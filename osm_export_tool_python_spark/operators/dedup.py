@@ -163,6 +163,115 @@ def band_self_join(banded: DataFrame) -> DataFrame:
     )
 
 
+def band_probe_join(
+    index: DataFrame, probe: DataFrame, broadcast_probe: bool = True
+) -> DataFrame:
+    """(id_a, id_b) distinct candidates between a PROBE batch's band
+    rows (id_a) and a persisted corpus band INDEX (id_b) — the
+    incremental half of the reusable-dedup-index story: a daily crawl
+    batch is banded (small) and joined against the corpus index
+    WITHOUT re-banding or shuffling the corpus.
+
+    Scale shape: with `broadcast_probe` (the typical batch ≪ corpus
+    regime) the probe band table is broadcast, so the corpus index is
+    only SCANNED — zero exchange on either side, no shuffle at all
+    (plan-gated in tests/test_text_dedup.py).  When the batch is too
+    big to broadcast, pass False: the index side still arrives
+    pre-bucketed from write_bucketed's files and only the probe side
+    shuffles into its layout."""
+    p = probe.alias("p")
+    if broadcast_probe:
+        p = F.broadcast(p)
+    i = index.alias("i")
+    return (
+        i.join(p, ["band", "bucket"])
+        .where(F.col("p.id") != F.col("i.id"))
+        .select(F.col("p.id").alias("id_a"), F.col("i.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_cross(
+    pairs: DataFrame,
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on (id_a, id_b) candidate pairs whose two
+    sides live in DIFFERENT frames (id_a ∈ left_df, id_b ∈ right_df);
+    keeps pairs ≥ threshold.
+
+    Scale shape: candidate pairs are a tiny fraction of the corpus, so
+    each side is first pruned to candidate-touched docs by a BROADCAST
+    semi-join on the pair ids — shingles are computed only for those
+    docs and the verify joins carry narrow pruned sides, never a full
+    shuffle of corpus text."""
+
+    def pruned_shingles(df, ids, out_id, out_sh):
+        touched = df.join(F.broadcast(ids), df[id_col] == ids["__cid"], "left_semi")
+        return touched.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(shingles(text_col, shingle_n)).alias(out_sh),
+        )
+
+    sh_a = pruned_shingles(
+        left_df, pairs.select(F.col("id_a").alias("__cid")).distinct(), "id_a", "sh_a"
+    )
+    sh_b = pruned_shingles(
+        right_df, pairs.select(F.col("id_b").alias("__cid")).distinct(), "id_b", "sh_b"
+    )
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dup removal: rows of `new_df` that have no
+    verified near-dup in the corpus behind the persisted band `index`
+    (a (id, band, bucket) table written by
+    sources/tables.write_bucketed over banded_signature_table).
+
+    The daily-pipeline shape: band the new batch (narrow, batch-sized),
+    candidate-join it against the index (corpus scanned, never
+    shuffled — see band_probe_join), exact-verify the few candidates
+    against corpus text (broadcast-pruned — see jaccard_verify_cross),
+    anti-join the confirmed dups out of the batch.  Intra-batch dups
+    are a separate composable step (minhash_dedup on the batch); after
+    acceptance, append the batch's band rows to the index with
+    sources/tables.append_bucketed so the next batch sees them."""
+    new_banded = banded_signature_table(
+        new_df, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    cands = band_probe_join(index, new_banded, broadcast_probe)
+    verified = jaccard_verify_cross(
+        cands, new_df, corpus_df, id_col, text_col, shingle_n, threshold
+    )
+    dupes = verified.select(F.col("id_a").alias("__dup")).distinct()
+    return new_df.join(dupes, new_df[id_col] == dupes["__dup"], "left_anti")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

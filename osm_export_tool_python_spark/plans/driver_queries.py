@@ -2195,6 +2195,65 @@ FROM banded a JOIN banded b
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """The INCREMENTAL dedup-index path end to end (daily-batch
+    shape): band a corpus → persist it bucketed on (band, bucket) →
+    band a NEW batch → candidate-join it against the index with the
+    corpus only scanned (operators/dedup.band_probe_join, broadcast
+    probe) → exact-jaccard verify against corpus text → anti-join
+    confirmed dups out of the batch.
+
+    Recall is PROVABLY 1 on this corpus for any hash family: for
+    doc_id < 4000, corpus = even ids with text key id DIV 4, batch =
+    odd ids whose key is id DIV 4 when id % 4 == 1 (an IDENTICAL
+    shingle set to corpus docs 4k and 4k+2 ⇒ equal minhash signatures
+    in every band ⇒ guaranteed candidate, verified at jaccard 1.0) and
+    a batch-unique key otherwise (every token carries the key ⇒
+    jaccard 0 against everything; any hash-collision candidate dies in
+    the exact verify).  Survivors are therefore exactly the batch docs
+    with id % 4 == 3 — closed form."""
+    from ..operators.dedup import banded_signature_table, dedup_against_index
+    from ..sources.tables import write_bucketed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 4000)
+
+    def with_text(frame, key):
+        return frame.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("g"), key.cast("string"), F.lit("w%d" % i))
+                    for i in range(6)
+                ],
+            ),
+        )
+
+    corpus = with_text(
+        docs.where(F.col("doc_id") % 2 == 0), F.expr("doc_id DIV 4")
+    )
+    new_batch = with_text(
+        docs.where(F.col("doc_id") % 2 == 1),
+        F.when(
+            F.col("doc_id") % 4 == 1, F.expr("doc_id DIV 4")
+        ).otherwise(F.col("doc_id") + 1000000),
+    )
+
+    spark.sql("DROP TABLE IF EXISTS dedup_idx_gate")
+    write_bucketed(
+        banded_signature_table(corpus), "dedup_idx_gate", 8, "band", "bucket"
+    )
+    survivors = dedup_against_index(
+        new_batch, spark.table("dedup_idx_gate"), corpus, threshold=0.8
+    )
+    return survivors.select("doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT doc_id FROM documents WHERE doc_id < 4000 AND doc_id % 4 = 3
+"""
+
+
 def q_osm_partition_pruned_read(spark, sf_dir):
     """The Iceberg-style cell-prefix partition layout end to end:
     write customer points partitioned by their z4 quadkey cell
@@ -2568,6 +2627,7 @@ QUERIES = {
     "embed_ivf_probe1": (q_embed_ivf_probe1, SQL_EMBED_IVF_PROBE1),
     "embed_pq_adc": (q_embed_pq_adc, SQL_EMBED_PQ_ADC),
     "lsh_bucketed_join": (q_lsh_bucketed_join, SQL_LSH_BUCKETED_JOIN),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }

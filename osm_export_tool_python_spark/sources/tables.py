@@ -97,6 +97,31 @@ def read_theme_candidates(spark, path: str, mapping) -> DataFrame:
     return df.where(cond) if cond is not None else df
 
 
+def _clear_orphan_location(spark, table: str) -> None:
+    """A run that died between writing a managed table's files and
+    registering (or after dropping) the catalog entry leaves the
+    warehouse directory on disk with no table behind it — saveAsTable
+    then refuses with LOCATION_ALREADY_EXISTS forever after.  If the
+    catalog has no such table but its default managed location exists
+    on a LOCAL warehouse, remove the orphan so the write can proceed.
+    Non-file warehouses (real deployments: S3/HDFS-backed catalogs)
+    are left alone — there the catalog service owns cleanup."""
+    if spark.catalog.tableExists(table):
+        return
+    wh = str(spark.conf.get("spark.sql.warehouse.dir", ""))
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(wh)
+    if parsed.scheme not in ("", "file"):
+        return
+    import os
+    import shutil
+
+    loc = os.path.join(parsed.path or wh, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame, table: str, buckets: int, *keys: str, sort: bool = True
 ) -> None:
@@ -119,7 +144,25 @@ def write_bucketed(
     tests/test_text_dedup.py).  At the 100 TB target the band table is
     the widest frame the dedup pipeline ever shuffles — bucketing it
     converts that per-run cost into a one-time write-side sort."""
+    _clear_orphan_location(df.sparkSession, table)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def append_bucketed(
+    df: DataFrame, table: str, buckets: int, *keys: str, sort: bool = True
+) -> None:
+    """Append rows to an existing bucketed table with the SAME
+    (buckets, keys) spec — the accept step of the incremental dedup
+    index: once a new batch survives dedup_against_index, its band
+    rows land here so the next batch's candidate join sees them.
+    Spark hashes the appended rows into the same bucket files'
+    numbering, so joins against the table stay exchange-free across
+    appends; the spec must match the original write_bucketed call
+    (Spark rejects a mismatched append)."""
+    w = df.write.mode("append").format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)

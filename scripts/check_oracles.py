@@ -94,9 +94,10 @@ def main():
         else:
             print("OK    %-24s %d rows" % (name, len(sr)))
 
+    ran = [n for n in qs if n in oracles and (not only or n in only)]
     print("\n%d/%d compared queries OK" % (
-        len([1 for n in qs if n in oracles and not any(f[0] == n for f in failures)]),
-        len([1 for n in qs if n in oracles and (not only or n in only)]) if not only else len(only),
+        len([1 for n in ran if not any(f[0] == n for f in failures)]),
+        len(ran),
     ))
     if failures:
         sys.exit(1)

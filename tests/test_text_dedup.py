@@ -458,3 +458,106 @@ def test_band_self_join_bucketed_is_exchange_free(spark, docs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_band_bucketed")
+
+
+def test_band_probe_join_broadcast_no_index_shuffle(spark):
+    """Incremental probe against the bucketed index: with the probe
+    side broadcast (the daily batch ≪ corpus regime) the corpus index
+    is only SCANNED — the sole remaining hash exchange in the plan is
+    the small post-join distinct.  Closed-form band table (same bucket
+    formula as the lsh_bucketed_join driver gate) so the probe subtree
+    is pure Column math with no exchanges of its own."""
+    from osm_export_tool_python_spark.sources.tables import write_bucketed
+
+    def closed_form_banded(ids_df):
+        return ids_df.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            ((F.col("id") * (b + 3)) % 40).alias("bucket"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("s"),
+        ).select("id", "s.band", "s.bucket")
+
+    corpus_ids = spark.range(0, 600).select(F.col("id").cast("long").alias("id"))
+    probe_ids = spark.range(600, 640).select(F.col("id").cast("long").alias("id"))
+    spark.sql("DROP TABLE IF EXISTS t_inc_idx")
+    write_bucketed(closed_form_banded(corpus_ids), "t_inc_idx", 8, "band", "bucket")
+    try:
+        cands = D.band_probe_join(
+            spark.table("t_inc_idx"), closed_form_banded(probe_ids)
+        )
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        # oracle: shared (band, bucket) under the closed-form formula
+        ref = {
+            (p, c)
+            for p in range(600, 640)
+            for c in range(600)
+            for b in range(4)
+            if (p * (b + 3)) % 40 == (c * (b + 3)) % 40
+        }
+        assert got == ref and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_inc_idx")
+
+
+def test_dedup_against_index_and_append(spark):
+    """End-to-end incremental dedup: batch-1 docs that near-dup the
+    corpus are dropped, unique docs survive; appending batch-1's band
+    rows to the index (append_bucketed) makes batch-2 dups OF BATCH-1
+    get caught too — the index grows across batches without ever being
+    rewritten."""
+    from osm_export_tool_python_spark.sources.tables import (
+        append_bucketed,
+        write_bucketed,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = frame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")]
+    )
+    batch1 = frame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of corpus 1
+            (11, "brand new words never seen before"),
+        ]
+    )
+    spark.sql("DROP TABLE IF EXISTS t_inc_idx2")
+    write_bucketed(
+        D.banded_signature_table(corpus), "t_inc_idx2", 8, "band", "bucket"
+    )
+    try:
+        surv1 = D.dedup_against_index(
+            batch1, spark.table("t_inc_idx2"), corpus, threshold=0.8
+        )
+        assert {r["doc_id"] for r in surv1.collect()} == {11}
+
+        # accept batch1 survivors into the index; corpus text for later
+        # verifies is the union of the two accepted generations
+        append_bucketed(
+            D.banded_signature_table(surv1), "t_inc_idx2", 8, "band", "bucket"
+        )
+        corpus2 = corpus.unionByName(surv1)
+        batch2 = frame(
+            [
+                (20, "brand new words never seen before"),  # dup of batch1's 11
+                (21, "completely fresh second batch text"),
+            ]
+        )
+        surv2 = D.dedup_against_index(
+            batch2, spark.table("t_inc_idx2"), corpus2, threshold=0.8
+        )
+        assert {r["doc_id"] for r in surv2.collect()} == {21}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_inc_idx2")
