@@ -2195,6 +2195,41 @@ FROM banded a JOIN banded b
 """
 
 
+def q_spatial_zorder_read(spark, sf_dir):
+    """Z-order (Morton) spatial clustering end to end: deterministic
+    world-spread points from customer keys are written in Morton
+    layout (sources/tables.write_zordered — range-repartition + sort
+    on the bit-interleaved z16 cell of (lon, lat), no materialized key
+    column) and read back through a bbox scan (read_bbox) whose four
+    comparisons push into the parquet scan; on this layout the footer
+    min/max prune row groups on BOTH dimensions (measured in
+    tests/test_zorder.py).  The oracle is the same arithmetic filter
+    over an unsorted scan — layout must never change results."""
+    from ..sources.tables import read_bbox, write_zordered
+
+    k = F.col("c_custkey").cast("long")
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("pid"),
+        ((k * 37 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((k * 53 % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    path = "/tmp/spark_osm_zorder_%s" % sf_dir.strip("/").replace("/", "_")
+    write_zordered(pts, path, "lon", "lat")
+    return read_bbox(spark, path, (10.0, 10.0, 60.0, 60.0))
+
+
+SQL_SPATIAL_ZORDER_READ = """
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS pid,
+         (c_custkey * 37 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 53 % 16000) / 100.0 - 80.0  AS lat
+  FROM customer
+)
+SELECT pid, lon, lat FROM pts
+WHERE lon >= 10.0 AND lon <= 60.0 AND lat >= 10.0 AND lat <= 60.0
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """The INCREMENTAL dedup-index path end to end (daily-batch
     shape): band a corpus → persist it bucketed on (band, bucket) →
@@ -2628,6 +2663,7 @@ QUERIES = {
     "embed_pq_adc": (q_embed_pq_adc, SQL_EMBED_PQ_ADC),
     "lsh_bucketed_join": (q_lsh_bucketed_join, SQL_LSH_BUCKETED_JOIN),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "spatial_zorder_read": (q_spatial_zorder_read, SQL_SPATIAL_ZORDER_READ),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_real_roundtrip": (q_media_real_roundtrip, SQL_MEDIA_REAL_ROUNDTRIP),
 }

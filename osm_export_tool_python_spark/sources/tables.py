@@ -79,6 +79,72 @@ def write_hotkey_clustered(docs: DataFrame, path: str, hot_keys) -> None:
     ).parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 16,
+    n_files: int = None,
+) -> None:
+    """Materialize a point table in Z-ORDER (Morton) layout: rows are
+    range-repartitioned and sorted by the bit-interleaved tile cell of
+    (lon, lat) at `zoom`, so each parquet row group covers a small
+    SQUARE-ish patch of the plane and its footer min/max on BOTH the
+    raw lon and lat columns is tight.  A bbox predicate — plain
+    `lon BETWEEN … AND lat BETWEEN …`, pushed to the scan by Catalyst —
+    then prunes row groups on BOTH dimensions, which a single-column
+    sort can never do (sorting by lon alone leaves every row group
+    spanning the full lat range; measured in tests/test_zorder.py).
+
+    This is the intra-file complement of the `cell_prefix` partition
+    layout above: partition pruning skips directories at planning
+    time, Z-order skips row groups inside whatever files remain.  On
+    Iceberg/Delta this is `sort order = zorder(lon, lat)`; here it is
+    the same two mechanisms spelled out, with the engine's own Morton
+    encoder (operators/tiles.cell_col) as the key — no materialized
+    key column, the sort expression lives only in the write plan.
+
+    Pruning granularity is the row group (within a file) and the file
+    (across ranges): `n_files` range chunks means each chunk covers
+    ~1/n_files of the curve, so small inputs need more files than
+    cores for the stats to get selective (the tests use 64); at scale
+    the default — one range per core — already yields thousands of
+    files × many 128 MB row groups each, far finer than any bbox."""
+    from ..operators.tiles import cell_col, tile_x_col, tile_y_col
+
+    z = F.lit(zoom)
+    key = cell_col(
+        z, tile_x_col(F.col(lon_col), z), tile_y_col(F.col(lat_col), z)
+    )
+    n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    df.repartitionByRange(n, key).sortWithinPartitions(key).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_bbox(
+    spark,
+    path: str,
+    bbox,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Scan a point table with a bbox predicate expressed on the raw
+    lon/lat columns — Catalyst pushes the four comparisons into the
+    parquet scan (PushedFilters), and on a write_zordered layout the
+    row groups outside the box are excluded by footer stats before
+    decompression.  `bbox` is (min_lon, min_lat, max_lon, max_lat)."""
+    min_lon, min_lat, max_lon, max_lat = bbox
+    df = spark.read.parquet(path)
+    return df.where(
+        (F.col(lon_col) >= float(min_lon))
+        & (F.col(lon_col) <= float(max_lon))
+        & (F.col(lat_col) >= float(min_lat))
+        & (F.col(lat_col) <= float(max_lat))
+    )
+
+
 def read_theme_candidates(spark, path: str, mapping) -> DataFrame:
     """Scan the documents table with the mapping's necessary condition
     over whatever hk_ columns the table carries — Catalyst pushes it
