@@ -142,6 +142,37 @@ def _sha_work(iters):
     return h[0]
 
 
+def _membw_steady(mib=128, reps=8):
+    # STREAMING bandwidth: copy between two preallocated, pre-touched
+    # buffers — no page faults in the timed window.  GB/s.
+    src = np.ones(mib << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    dst[:] = 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.copyto(dst, src)
+    dt = time.perf_counter() - t0
+    return round(reps * mib / 1024.0 / dt, 2)
+
+
+def _alloc_fault_work(mib=64, reps=4):
+    # ALLOCATION throughput: every copy materializes a FRESH buffer, so
+    # the timed window is dominated by page faults / THP behavior — the
+    # path JVM heap growth, Arrow batch buffers and fork'd Python
+    # workers actually exercise.  Probed separately from streaming
+    # bandwidth because they drift independently: measured sessions
+    # where steady copy held 8+ GB/s while fresh-allocation copies ran
+    # at 0.09 GB/s (~90x down), and Spark walls tracked the LATTER
+    # (2.5x slower suite at a near-flat sha probe).  GB/s.
+    src = np.ones(mib << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        dst = src.copy()
+    dt = time.perf_counter() - t0
+    del dst
+    return round(reps * mib / 1024.0 / dt, 2)
+
+
 def vm_probe(cpus):
     """Deterministic CPU probes (single-thread + all-core) recorded in
     the output JSON: this VM's run-to-run and round-to-round speed
@@ -171,9 +202,36 @@ def vm_probe(cpus):
         allcore = round(t3 - t2, 3)
     except Exception:
         allcore = None
+    # Memory + scratch-disk probes (round 5): the sha pair only tracks
+    # CPU crunch, but the suite's heavy paths (JVM heap growth, Arrow
+    # buffers, shuffle spill) are allocation/IO-bound — measured days
+    # where Spark walls moved 2.5x while sha moved 1.1x.  Streaming
+    # bandwidth and fresh-allocation (page-fault/THP) throughput are
+    # probed SEPARATELY because they drift independently (see
+    # _alloc_fault_work); the fsync'd write probes the shuffle scratch
+    # volume.  Divide cross-round Spark walls by the alloc/io ratios,
+    # not just sha.
+    membw_steady = _membw_steady()
+    alloc_gbps = _alloc_fault_work()
+    try:
+        import tempfile
+
+        buf = b"\x00" * (8 << 20)
+        with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+            t5 = time.perf_counter()
+            for _ in range(8):  # 64 MiB
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            io_gbps = round(0.0625 / (time.perf_counter() - t5), 2)
+    except Exception:
+        io_gbps = None
     return {
         "sha_1t_sec": round(t1 - t0, 3),
         "sha_allcore_qwork_sec": allcore,
+        "membw_steady_gbps": membw_steady,
+        "alloc_fault_gbps": alloc_gbps,
+        "tmp_write_gbps": io_gbps,
     }
 
 
