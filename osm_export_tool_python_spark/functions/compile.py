@@ -104,11 +104,22 @@ def any_theme_predicate(themes, tags="tags", geom_type="geom_type") -> Column:
     return reduce(or_, [compile_theme(th, tags, geom_type) for th in themes])
 
 
-def select_keys_projection(theme, tags="tags"):
+def select_keys_projection(theme, tags="tags", taken=()):
     """Per-theme output columns: one string column per selected key,
-    missing tag → NULL (reference tabular.py:77-79, mapping.py:41)."""
+    missing tag → NULL (reference tabular.py:77-79, mapping.py:41).
+
+    `taken` names structural columns already in the projection
+    (osm_id, geom_type, xs …).  A select key that collides with one —
+    legal OSM-wise, e.g. a key literally named ``geom_type`` — gets a
+    deterministic ``_tag`` suffix instead of producing a duplicate
+    column name (Spark allows dupes in a select but every parquet/
+    sink write and later by-name reference then fails)."""
     t = _tags_col(tags)
-    return [F.try_element_at(t, F.lit(k)).alias(k) for k in theme.keys]
+    taken = set(taken)
+    return [
+        F.try_element_at(t, F.lit(k)).alias(k if k not in taken else k + "_tag")
+        for k in theme.keys
+    ]
 
 
 def osm_id_column(orig_id="orig_id", src="src") -> Column:

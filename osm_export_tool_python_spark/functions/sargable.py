@@ -29,7 +29,6 @@ reference's osmium-tool tags-filter prefilter, README.md:61).
 
 from __future__ import annotations
 
-import re
 from functools import reduce
 from operator import or_
 
@@ -42,9 +41,27 @@ _RANGE_OPS = {">", "<", ">=", "<="}
 
 
 def hot_column(key: str) -> str:
-    """Tag key → materialized column name (laundered: parquet/Spark
-    field names can't carry ':' etc.)."""
-    return HOT_PREFIX + re.sub(r"[^0-9A-Za-z_]", "_", key)
+    """Tag key → materialized column name.  The launder is INJECTIVE
+    (parquet/Spark field names can't carry ':' etc., but two distinct
+    keys must never share a column — 'addr:street' collapsing onto a
+    column that holds tags['addr_street'] would silently filter on
+    the wrong tag): ASCII alphanumerics pass through, '_' doubles to
+    '__', any other char becomes '_x<2-hex>' (or '_u<4-hex>' beyond
+    U+00FF).  Decoding is deterministic — after '_', a second '_' is
+    a literal underscore and 'x'/'u'+hex is an escape — so distinct
+    keys always produce distinct columns.  Plain alphanumeric keys
+    (the common case: building, amenity, height …) are unchanged."""
+    out = []
+    for ch in key:
+        if ch.isascii() and ch.isalnum():
+            out.append(ch)
+        elif ch == "_":
+            out.append("__")
+        elif ord(ch) <= 0xFF:
+            out.append("_x%02x" % ord(ch))
+        else:
+            out.append("_u%04x" % ord(ch))
+    return HOT_PREFIX + "".join(out)
 
 
 def necessary_condition(expr, available) -> Column:

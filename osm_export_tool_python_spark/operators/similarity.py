@@ -190,6 +190,8 @@ class PQIndex:
             [r[0] for r in vectors.select(vec_col).limit(sample_rows).collect()],
             dtype=np.float64,
         )
+        if sample.size == 0:
+            raise ValueError("empty vectors frame")
         if sample.shape[1] % m:
             raise ValueError("dim %d not divisible by m=%d" % (sample.shape[1], m))
         dsub = sample.shape[1] // m
@@ -265,11 +267,16 @@ class PQIndex:
 
     def encode(self, vectors: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", keep=()) -> DataFrame:
-        """(id, codes: array<int>) — the compressed table.  One
+        """(id, vnorm, codes: array<int>) — the compressed table.  One
         vectorized Arrow pass: per subspace, a (batch × k) squared-
         distance matrix and an argmin; no per-row Python.  `keep`
         names extra columns to carry through (e.g. IVF's list_id for
-        the IVF-PQ composition)."""
+        the IVF-PQ composition).  `vnorm` is the EXACT L2 norm of the
+        raw vector (pure Column math, 8 bytes/row): it is what lets
+        `topk(metric='cosine')` rank by true-norm cosine instead of
+        raw inner product — without it, ADC's IP ranking would
+        systematically favor large-norm vectors and no shortlist size
+        could bound the cosine recall loss."""
         import pandas as pd
 
         # `from __future__ import annotations` stringifies the UDF
@@ -302,11 +309,19 @@ class PQIndex:
         out = fan_out(vectors).select(
             F.col(id_col).alias("vec_id"),
             *keep,
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ).alias("vnorm"),
             enc(F.col(vec_col)).alias("codes"),
         )
         return out
 
-    def _query_luts(self, queries: DataFrame, id_col: str, vec_col: str):
+    def _query_luts(self, queries: DataFrame, id_col: str, vec_col: str,
+                    normalize: bool = False):
         """Collect the (small, broadcast-bound) query set and build
         each query's ADC lookup table: lut[j][c] = q_sub_j · codebook
         entry c — plain Python lists, shipped as one literal-free
@@ -317,6 +332,10 @@ class PQIndex:
         out = []
         for r in rows:
             q = np.asarray(r[1], dtype=np.float64)
+            if normalize:
+                n = float(np.linalg.norm(q))
+                if n > 0.0:
+                    q = q / n
             lut = [
                 (q[j * dsub:(j + 1) * dsub] @ self.codebooks[j].T).tolist()
                 for j in range(self.m)
@@ -328,7 +347,7 @@ class PQIndex:
              id_col: str = "vec_id", vec_col: str = "embedding",
              list_col: str = None, ivf: "IVFIndex" = None,
              n_probe: int = 4, rerank_with: DataFrame = None,
-             shortlist: int = None) -> DataFrame:
+             shortlist: int = None, metric: str = "ip") -> DataFrame:
         """(query_id, vec_id, score, rank): ADC inner-product top-k
         over the ENCODED table.  With `ivf`+`list_col` the probe join
         keys on the IVF list (IVF-PQ): only ~n_probe/n_lists of the
@@ -339,17 +358,28 @@ class PQIndex:
         element_at(lut_row, code+1) with aggregate — JVM codegen,
         nothing crosses Arrow here.
 
+        `metric` selects what the scores MEAN — and both stages use
+        the same one, so shortlist membership is only ever off by
+        quantization noise, never by a metric mismatch: 'ip' (default)
+        ranks by raw inner product; 'cosine' divides the LUT by ||q||
+        driver-side and the ADC sum by the encoded table's EXACT
+        per-vector `vnorm` column, so the ADC score IS the cosine up
+        to subvector quantization (vectors need not be pre-normalized).
+
         `rerank_with` (the uncompressed (id, vector) table) switches
         on the production two-stage shape: ADC ranks a SHORTLIST of
         `shortlist` (default 10·k) candidates per query — quantization
         noise only has to keep true neighbors inside the shortlist,
         not in exact order — then the shortlist (tiny: queries ×
         shortlist rows, broadcast) joins back to the full vectors and
-        the final top-k is EXACT cosine over just those candidates.
-        At scale the expensive corpus never materializes floats for
-        more than queries·shortlist rows."""
+        the final top-k is EXACT (same `metric`, uncompressed) over
+        just those candidates.  At scale the expensive corpus never
+        materializes floats for more than queries·shortlist rows."""
+        if metric not in ("ip", "cosine"):
+            raise ValueError("metric must be 'ip' or 'cosine', got %r" % (metric,))
         spark = encoded.sparkSession
-        luts = self._query_luts(queries, id_col, vec_col)
+        luts = self._query_luts(queries, id_col, vec_col,
+                                normalize=(metric == "cosine"))
         lut_schema = (
             "query_id long, lut array<array<double>>"
             if luts and isinstance(luts[0][0], int)
@@ -383,6 +413,8 @@ class PQIndex:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        if metric == "cosine":
+            score = score / F.col("vnorm")
         scored = joined.where(F.col("query_id") != F.col("vec_id")).select(
             "query_id", "vec_id", score.alias("score")
         )
@@ -404,10 +436,22 @@ class PQIndex:
         cand = rerank_with.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
         ).join(F.broadcast(short), "vec_id")
+        if metric == "cosine":
+            exact_score = cosine_sim_col(F.col("qv"), F.col("v"))
+        else:
+            exact_score = F.aggregate(
+                F.zip_with(
+                    F.col("qv").cast("array<double>"),
+                    F.col("v").cast("array<double>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         exact = cand.join(F.broadcast(qv), "query_id").select(
             "query_id",
             "vec_id",
-            cosine_sim_col(F.col("qv"), F.col("v")).alias("score"),
+            exact_score.alias("score"),
         )
         return exact.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= k

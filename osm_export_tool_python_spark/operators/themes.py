@@ -58,7 +58,10 @@ def theme_output(themed: DataFrame, theme, polygon_centroid=False) -> DataFrame:
         F.col("ring_offsets"),
         F.col("part_offsets"),
     ]
-    cols += select_keys_projection(theme)
+    structural = (["osm_id"] if theme.osm_id else []) + [
+        "geom_type", "xs", "ys", "ring_offsets", "part_offsets",
+    ]
+    cols += select_keys_projection(theme, taken=structural)
     out = df.select(*cols)
     if polygon_centroid:
         out = polygons_to_centroids(out)

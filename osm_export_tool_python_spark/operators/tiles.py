@@ -507,12 +507,17 @@ def exact_cells_udf(min_zoom: int, max_zoom: int):
         # are never read — the CASE takes the single-tile branch for
         # exactly those rows.  Kernel output is deduped by the
         # per-level shift chain, so no JVM-side distinct downstream.
-        mask = geom_type.notna()
+        # Routed-away rows are identified by their NULLED coordinate
+        # arrays, NOT by geom_type: a row with a NULL geom_type but
+        # real coordinates (the kernel rasterizes unknown types as
+        # lines) must still reach the kernel — masking on geom_type
+        # would silently drop it from the tile table.
+        mask = xs.notna()
         result = [None] * len(geom_type)
         if mask.any():
             idx = np.flatnonzero(mask.to_numpy())
             out = exact_cells_batch(
-                geom_type.iloc[idx].tolist(),
+                ["" if g is None else g for g in geom_type.iloc[idx].tolist()],
                 [empty if x is None else x for x in xs.iloc[idx].tolist()],
                 [empty if y is None else y for y in ys.iloc[idx].tolist()],
                 ring_offsets.iloc[idx].tolist(),

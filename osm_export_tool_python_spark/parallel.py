@@ -33,6 +33,14 @@ from pyspark.sql import DataFrame
 # single-core serialization problem actually exists.
 _MAX_FAN_OUT_BYTES = 512 << 20
 
+# Catalyst reports defaultSizeInBytes (≈ Long.MaxValue, configurable
+# via spark.sql.defaultSizeInBytes) when a plan node has NO real
+# statistics — LogicalRDD-backed frames, some sources.  Estimates at
+# or beyond this floor mean "unknown", not "huge": treating them as
+# large would permanently disable the fan-out for exactly the small
+# RDD-backed frames the guard exists for.
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
 
 def _session_width(spark) -> int:
     """The session's shuffle parallelism, tolerant of non-numeric
@@ -85,14 +93,17 @@ def fan_out(
     session parallelism, and probing partitions there would execute
     stages), or is estimated bigger than `max_bytes` (a large scan
     already parallelizes across its file partitions — pre-shuffling
-    its full rows would cost more than the skew it prevents)."""
+    its full rows would cost more than the skew it prevents).  A
+    missing/sentinel estimate (no stats → defaultSizeInBytes) counts
+    as SMALL: RDD-backed frames carry no stats and are precisely the
+    shape this guard was written for."""
     n = _session_width(df.sparkSession)
     if not _is_narrow(df):
         return df
     if df.rdd.getNumPartitions() >= n:
         return df
     size = _plan_size_bytes(df)
-    if size is not None and size > max_bytes:
+    if size is not None and max_bytes < size < _UNKNOWN_SIZE_FLOOR:
         return df
     if key_cols:
         return df.repartition(n, *key_cols)

@@ -174,6 +174,13 @@ def _clear_orphan_location(spark, table: str) -> None:
     are left alone — there the catalog service owns cleanup."""
     if spark.catalog.tableExists(table):
         return
+    if "." in table:
+        # Qualified names live under <warehouse>/<db>.db/<table>;
+        # guessing that layout risks deleting a LIVE default-database
+        # table that happens to share the last name segment.  Only
+        # the unqualified (default-db) case is unambiguous — leave
+        # qualified orphans for the operator.
+        return
     wh = str(spark.conf.get("spark.sql.warehouse.dir", ""))
     import urllib.parse
 
@@ -183,7 +190,7 @@ def _clear_orphan_location(spark, table: str) -> None:
     import os
     import shutil
 
-    loc = os.path.join(parsed.path or wh, table.split(".")[-1].lower())
+    loc = os.path.join(parsed.path or wh, table.lower())
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 

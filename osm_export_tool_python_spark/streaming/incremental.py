@@ -79,9 +79,19 @@ def incremental_point_features(
     themed = theme_fanout(feats, mapping)
     if select_keys:
         keys = sorted({k for t in mapping.themes for k in t.keys})
+        taken = set(themed.columns)
+        # a key that collides with a structural output column ('theme',
+        # 'osm_id', 'tags' …) gets the same deterministic '_tag' suffix
+        # as the batch projection (functions/compile.select_keys_
+        # projection) — a duplicate name would fail at stream start
         themed = themed.select(
             "*",
-            *[F.try_element_at("tags", F.lit(kk)).alias(kk) for kk in keys],
+            *[
+                F.try_element_at("tags", F.lit(kk)).alias(
+                    kk if kk not in taken else kk + "_tag"
+                )
+                for kk in keys
+            ],
         )
     return themed
 

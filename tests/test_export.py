@@ -286,3 +286,35 @@ def test_partition_lineage_uri_branch_lists_zero_row_files(spark, tmp_path):
     assert local == uri
     assert uri["part-99999-empty.snappy.parquet"] == 0
     assert sum(uri.values()) == 10 and len(uri) == 3
+
+
+def test_select_key_colliding_with_structural_column(spark):
+    """A select key named like a structural output column (legal
+    OSM-wise — e.g. a tag literally called 'geom_type') must not
+    produce a duplicate column name: it gets a deterministic '_tag'
+    suffix so parquet writes and by-name references keep working."""
+    from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
+    from osm_export_tool_python_spark.operators.themes import (
+        theme_fanout,
+        theme_output,
+    )
+
+    yaml = """
+weird:
+  types: [points]
+  select: [geom_type, xs, name]
+  where: name IS NOT NULL
+"""
+    mapping = Mapping(yaml)
+    rows = [
+        (1, "node", "point",
+         {"name": "a", "geom_type": "tagval", "xs": "xval"},
+         [13.4], [52.5], [0, 1], [0, 1]),
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = theme_output(theme_fanout(feats, mapping), mapping.themes[0])
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert "geom_type_tag" in out.columns and "xs_tag" in out.columns
+    r = out.collect()[0]
+    assert r["geom_type"] == "point" and r["geom_type_tag"] == "tagval"
+    assert r["xs_tag"] == "xval" and r["name"] == "a"

@@ -99,3 +99,20 @@ def test_minhash_signatures_unchanged_by_fan_out(spark):
     narrow = minhash_signature_table(docs.coalesce(1))
     wide = minhash_signature_table(docs.repartition(8))
     assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, wide.collect()))
+
+
+def test_fan_out_treats_unknown_size_estimate_as_small(spark):
+    # An RDD-backed frame has NO Catalyst stats — its size estimate is
+    # the defaultSizeInBytes sentinel (~Long.MaxValue).  That means
+    # "unknown", not "huge": the guard must still fan it out, or the
+    # exact small frames it was written for stay single-core forever.
+    rdd = spark.sparkContext.parallelize([(i,) for i in range(500)], 1)
+    df = spark.createDataFrame(rdd, "id long")
+    from osm_export_tool_python_spark.parallel import _plan_size_bytes, _UNKNOWN_SIZE_FLOOR
+
+    est = _plan_size_bytes(df)
+    assert est is None or est >= _UNKNOWN_SIZE_FLOOR  # precondition: no stats
+    wide = fan_out(df)
+    assert wide is not df
+    assert wide.rdd.getNumPartitions() == _nparts(spark)
+    assert wide.count() == 500

@@ -179,3 +179,35 @@ def test_point_export_equality_over_candidates(spark, tmp_path_factory):
     assert themed_points(
         read_theme_candidates(spark, path, mapping)
     ) == themed_points(spark.read.parquet(path))
+
+
+def test_hot_column_launder_is_injective():
+    """Distinct keys must never share a column: 'addr:street' routed
+    through a column holding tags['addr_street'] would filter on the
+    wrong tag and silently drop matchable documents."""
+    keys = ["addr:street", "addr_street", "addr__street", "addr::street",
+            "a_x3a", "a:", "amenity", "height", "name:en", "name_en"]
+    cols = [hot_column(k) for k in keys]
+    assert len(set(cols)) == len(keys), cols
+    # plain alphanumeric keys are unchanged (the common case)
+    assert hot_column("amenity") == "hk_amenity"
+    assert hot_column("building") == "hk_building"
+
+
+def test_colliding_key_relaxes_to_true_not_wrong_column(spark):
+    """A table that materialized 'addr_street' must NOT serve a
+    predicate on 'addr:street': the condition has to relax to TRUE
+    (keep everything) instead of filtering on the wrong tag."""
+    from osm_export_tool_python_spark.functions.sargable import (
+        necessary_condition,
+    )
+
+    available = [hot_column("addr_street"), "doc_id", "spans"]
+    expr = ("=", "addr:street", "Main")  # key NOT materialized
+    cond = necessary_condition(expr, available)
+    df = spark.createDataFrame(
+        [("d1", "Other"), ("d2", None)],
+        "doc_id string, %s string" % hot_column("addr_street"),
+    )
+    # TRUE for every row — nothing filtered through the wrong column
+    assert df.where(cond).count() == 2

@@ -208,3 +208,61 @@ def test_ivf_pq_composition(spark, emb):
     lists = {r["vec_id"]: r["list_id"] for r in indexed.collect()}
     for r in out:
         assert lists[r["vec_id"]] in probe[r["query_id"]]
+
+
+def test_pq_fit_empty_frame_raises(spark):
+    from osm_export_tool_python_spark.operators.similarity import PQIndex
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        PQIndex.fit(empty)
+
+
+def test_pq_cosine_metric_shortlist_keeps_true_neighbor(spark):
+    """Metric consistency across the two-stage shape: with UNNORMALIZED
+    vectors, raw-IP ranking systematically favors large-norm vectors —
+    a shortlist ranked by IP but reranked by cosine can exclude the
+    true cosine top-1 forever.  metric='cosine' scores BOTH stages as
+    cosine (LUT/||q||, ADC/vnorm — exact in the lossless regime), so
+    the true neighbor survives any shortlist size."""
+    from osm_export_tool_python_spark.operators.similarity import PQIndex
+
+    # corpus: id 1 is the exact cosine top-1 for q=(2,2) (cos=1.0) but
+    # has the SMALLEST inner product; ids 2-7 are large-norm decoys
+    corpus = [
+        (1, [1.0, 1.0]),
+        (2, [9.0, 0.0]), (3, [0.0, 9.0]),
+        (4, [8.0, 1.0]), (5, [1.0, 8.0]),
+        (6, [7.0, 2.0]), (7, [2.0, 7.0]),
+    ]
+    vecs = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(100, [2.0, 2.0])], "vec_id long, embedding array<double>")
+    pq = PQIndex.fit_lossless(vecs, m=2)
+    enc = pq.encode(vecs).cache()
+    assert "vnorm" in enc.columns
+
+    # two-stage, shortlist=3 < the 6 decoys: cosine metric keeps id 1
+    got = pq.topk(enc, q, k=1, rerank_with=vecs, shortlist=3, metric="cosine").collect()
+    assert [(r["query_id"], r["vec_id"]) for r in got] == [(100, 1)]
+    assert abs(got[0]["score"] - 1.0) < 1e-12  # exact cosine of parallel vectors
+
+    # single-stage cosine ADC == exact cosine ranking over all rows
+    adc = pq.topk(enc, q, k=7, metric="cosine").collect()
+    order = [r["vec_id"] for r in sorted(adc, key=lambda r: r["rank"])]
+    embs = dict(corpus)
+    qv = np.array([2.0, 2.0])
+    cos = {
+        i: float(qv @ np.array(v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        for i, v in embs.items()
+    }
+    want = sorted(embs, key=lambda i: (-cos[i], i))
+    assert order == want
+
+    # metric='ip' still means raw inner product end-to-end: both
+    # stages agree, top-1 is a large-norm decoy by construction
+    ip = pq.topk(enc, q, k=1, rerank_with=vecs, shortlist=3, metric="ip").collect()
+    assert ip[0]["vec_id"] != 1
+    assert abs(ip[0]["score"] - 18.0) < 1e-12  # exact dot product
+
+    with pytest.raises(ValueError, match="metric"):
+        pq.topk(enc, q, k=1, metric="euclid")

@@ -70,3 +70,26 @@ def test_windowed_event_counts_batch_semantics(spark):
     # window bounds are aligned hours
     for r in rows[:20]:
         assert r["start"].minute == 0 and r["start"].second == 0
+
+
+def test_incremental_select_key_collision_suffixed(spark):
+    """incremental_point_features must not emit duplicate column names
+    when a select key collides with a structural streaming column —
+    the duplicate would fail at stream start (same '_tag' suffix rule
+    as the batch projection)."""
+    from osm_export_tool_python_spark.streaming.incremental import (
+        incremental_point_features,
+    )
+
+    yaml = """
+weird:
+  types: [points]
+  select: [theme, tags, amenity]
+  where: amenity IS NOT NULL
+"""
+    mapping = Mapping(yaml)
+    docs = synth.synthesize(spark, n_nodes=300, n_ways=10, n_rels=2)
+    out = incremental_point_features(docs, mapping)  # batch frame: same code path
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert "theme_tag" in out.columns and "tags_tag" in out.columns
+    assert out.where(F.col("amenity").isNotNull()).count() > 0

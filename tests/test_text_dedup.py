@@ -561,3 +561,37 @@ def test_dedup_against_index_and_append(spark):
         assert {r["doc_id"] for r in surv2.collect()} == {21}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_inc_idx2")
+
+
+def test_clear_orphan_location_leaves_qualified_names_alone(spark, tmp_path):
+    """A qualified table name must never be resolved to
+    <warehouse>/<last-segment>: that path can belong to a LIVE
+    default-database table of the same name, and rmtree'ing it would
+    destroy its data while the catalog entry survives."""
+    import os
+
+    from osm_export_tool_python_spark.sources.tables import (
+        _clear_orphan_location,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(str(wh))
+    base = parsed.path or str(wh)
+    victim = os.path.join(base, "band_idx_victim")
+    os.makedirs(victim, exist_ok=True)
+    marker = os.path.join(victim, "part-00000.parquet")
+    open(marker, "w").write("x")
+    try:
+        # catalog has no 'analytics.band_idx_victim'; the default-db
+        # directory of the same last segment must survive
+        _clear_orphan_location(spark, "analytics.band_idx_victim")
+        assert os.path.exists(marker)
+        # the unqualified case still clears the true orphan
+        _clear_orphan_location(spark, "band_idx_victim")
+        assert not os.path.exists(victim)
+    finally:
+        import shutil
+
+        shutil.rmtree(victim, ignore_errors=True)

@@ -403,3 +403,23 @@ def test_exact_kernel_single_point_trailing_part():
         ["line", "point"], [[0.0, 1.0], []], [[0.0, 1.0], []], [None, None], 4, 4
     )
     assert len(out2[1]) == 0 and len(out2[0]) > 0
+
+
+def test_null_geom_type_straddler_still_assigned(spark):
+    """A multi-tile feature with a NULL geom_type must not vanish: the
+    kernel UDF identifies routed-away rows by their NULLED coordinate
+    arrays, not by geom_type, and rasterizes unknown types as lines
+    (masking on geom_type silently dropped these rows)."""
+    coords = [(-20.3, 10.1), (31.7, 44.9)]
+    rows = [
+        (1, "way", None, {"a": "1"},
+         [c[0] for c in coords], [c[1] for c in coords], [0, 2], [0, 1]),
+        _line(2, coords),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 5, 6).select("osm_id", "cell").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["osm_id"], set()).add(r["cell"])
+    assert 1 in by_id, "NULL geom_type feature dropped from tile table"
+    assert by_id[1] == by_id[2]  # same tiles as the identical line
