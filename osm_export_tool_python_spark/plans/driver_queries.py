@@ -2144,6 +2144,71 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_embed_pq_cosine(spark, sf_dir):
+    """PQ ANN with metric='cosine' — the TRUE-NORM cosine path
+    (normalized query LUT ÷ the encoded table's exact per-vector
+    `vnorm`), provably equal to exact cosine in the lossless regime:
+    8-dim positive-integer vectors (dim j = c_custkey mod a distinct
+    prime + 1) whose 2-dim subvectors all appear in their subspace's
+    codebook, so ADC loses nothing and the score IS
+    q·v/(‖q‖·‖v‖).  Compared as the SCORE SET above a 0.99 cosine
+    threshold (rounded 6 dp both sides) rather than by rank: the
+    family contains proportional vectors whose cosines tie EXACTLY,
+    and a rank-based oracle would be sensitive to last-ulp summation
+    differences between engines — the threshold sits ≥1.1e-3 from
+    every cosine and every value sits ≥9e-11 from a 6-dp rounding
+    boundary, so a set compare is float-noise-proof."""
+    from ..operators.similarity import PQIndex
+
+    k = F.col("c_custkey")
+    mods = (5, 7, 11, 13, 17, 19, 23, 29)
+    vecs = (
+        _t(spark, sf_dir, "customer")
+        .where(k < 200)
+        .select(
+            k.cast("long").alias("vec_id"),
+            F.array(*[(k % m + 1).cast("double") for m in mods]).alias(
+                "embedding"
+            ),
+        )
+    )
+    pq = PQIndex.fit_lossless(vecs, m=4)
+    enc = pq.encode(vecs)
+    out = pq.topk(enc, vecs.where(F.col("vec_id") < 12), k=250, metric="cosine")
+    return (
+        out.withColumn("score", F.round("score", 6))
+        .where(F.col("score") > 0.99)
+        .select("query_id", "vec_id", "score")
+    )
+
+
+_PQ_COS_DIMS = ", ".join(
+    "CAST(c_custkey %% %d + 1 AS DOUBLE) AS e%d" % (m, i)
+    for i, m in enumerate((5, 7, 11, 13, 17, 19, 23, 29))
+)
+_PQ_COS_IP = " + ".join("q.e%d*v.e%d" % (i, i) for i in range(8))
+_PQ_COS_NRM = lambda a: " + ".join("%s.e%d*%s.e%d" % (a, i, a, i) for i in range(8))
+
+SQL_EMBED_PQ_COSINE = """
+WITH v AS (
+  SELECT c_custkey AS id, {dims}
+  FROM customer WHERE c_custkey < 200
+), q AS (SELECT * FROM v WHERE id < 12),
+scored AS (
+  SELECT q.id AS query_id, v.id AS vec_id,
+         ({ip}) / (sqrt({qn}) * sqrt({vn})) AS c
+  FROM q JOIN v ON v.id <> q.id
+)
+SELECT query_id, vec_id, ROUND(c, 6) AS score
+FROM scored WHERE ROUND(c, 6) > 0.99
+""".format(
+    dims=_PQ_COS_DIMS,
+    ip=_PQ_COS_IP,
+    qn=_PQ_COS_NRM("q"),
+    vn=_PQ_COS_NRM("v"),
+)
+
+
 def q_lsh_bucketed_join(spark, sf_dir):
     """Exchange-free LSH candidate join over a BUCKETED band table
     (the reusable-dedup-index shape): a closed-form (id, band, bucket)
@@ -2661,6 +2726,7 @@ QUERIES = {
     "minhash_xx_dedup": (q_minhash_xx_dedup, SQL_MINHASH_XX_DEDUP),
     "embed_ivf_probe1": (q_embed_ivf_probe1, SQL_EMBED_IVF_PROBE1),
     "embed_pq_adc": (q_embed_pq_adc, SQL_EMBED_PQ_ADC),
+    "embed_pq_cosine": (q_embed_pq_cosine, SQL_EMBED_PQ_COSINE),
     "lsh_bucketed_join": (q_lsh_bucketed_join, SQL_LSH_BUCKETED_JOIN),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "spatial_zorder_read": (q_spatial_zorder_read, SQL_SPATIAL_ZORDER_READ),
