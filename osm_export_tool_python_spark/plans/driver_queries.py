@@ -2144,6 +2144,90 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_events_stateful_sessions(spark, sf_dir):
+    """Custom STATEFUL streaming operator parity (streaming/stateful.
+    sessionize_stream — applyInPandasWithState, the north-star 'custom
+    stateful operators' row): runs as a REAL two-phase stream (time-
+    ordered snapshots, availableNow triggers, the state store surviving
+    between runs via the checkpoint) over the events table; the emitted
+    CLOSED sessions must equal batch lag/cumsum sessionization with
+    each user's final (still-open) session excluded.  Session
+    composition is order-independent — boundaries depend only on the
+    sorted epoch values, and equal epochs can never straddle a >30-min
+    gap — so the only float caveat is summation order inside a
+    session; session_value is rounded 4 dp on both sides.  Epochs are
+    SECOND-truncated on both sides (Spark unix_timestamp truncates;
+    the oracle floors DuckDB's fractional epoch())."""
+    import shutil
+
+    from ..streaming.stateful import sessionize_stream
+
+    base = "/tmp/spark_osm_stateful_%s" % sf_dir.strip("/").replace("/", "_")
+    in_dir, out_dir, ck = base + "/in", base + "/out", base + "/ck"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts", "value")
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    # snapshot A strictly precedes snapshot B in event time, so each
+    # user's events arrive in epoch order across micro-batches — the
+    # in-order contract a gap sessionizer needs without a watermark
+    ev.where(F.col("ts") < cut).write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    ev.where(F.col("ts") >= cut).write.mode("append").parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "user_id",
+        "session_events",
+        F.round("session_value", 4).alias("session_value"),
+        "closed",
+    )
+
+
+SQL_EVENTS_STATEFUL_SESSIONS = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events WHERE user_id < 50
+), flagged AS (
+  SELECT user_id, ep, value,
+         CASE WHEN LAG(ep) OVER w IS NULL OR ep - LAG(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+), sess AS (
+  SELECT user_id, value,
+         SUM(s) OVER (PARTITION BY user_id ORDER BY ep
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid, COUNT(*) AS session_events,
+         SUM(value) AS session_value
+  FROM sess GROUP BY user_id, sid
+), last AS (SELECT user_id, MAX(sid) AS maxsid FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_events,
+       ROUND(a.session_value, 4) AS session_value, TRUE AS closed
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.maxsid
+"""
+
+
 def q_embed_pq_cosine(spark, sf_dir):
     """PQ ANN with metric='cosine' — the TRUE-NORM cosine path
     (normalized query LUT ÷ the encoded table's exact per-vector
@@ -2692,6 +2776,10 @@ QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_user_top3": (q_events_user_top3, SQL_EVENTS_USER_TOP3),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_stateful_sessions": (
+        q_events_stateful_sessions,
+        SQL_EVENTS_STATEFUL_SESSIONS,
+    ),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     # relational
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
