@@ -414,9 +414,11 @@ def write_report(results, n_docs, unsalted, salted):
         label = (
             "%d × [1 core, 12g] executors" % cpus if mode == "lc" else "local[%d]" % cpus
         )
-        return "| %s | %d | %s | %s | %s |" % (
+        probe = (r.get("vm_probe") or {}).get("sha_1t_sec")
+        return "| %s | %d | %s | %s | %s | %s |" % (
             label, cpus, r["sec"], "{:,}".format(r["features"]),
             "{:,.0f}".format(thr[(mode, cpus)]),
+            ("%.3f" % probe) if probe else "—",
         )
 
     lc_rows = "\n".join(row("lc", c) for (m, c) in LEVELS if m == "lc")
@@ -447,8 +449,13 @@ the affinity mask, so GC/JIT thread pools scale with it.
 
 ## PRIMARY: N → 4N pinned cores (the brief's "N and 4N cores" form)
 
-| level | cores (pinned) | wall (s) | themed features | features/sec |
-|---|---|---|---|---|
+Each row carries the deterministic single-core CPU probe measured
+INSIDE its own pinned child immediately before the timed runs
+(`bench.vm_probe`) — divide cross-round walls by the probe ratio to
+separate engine changes from this VM's ~1.6× round-to-round drift.
+
+| level | cores (pinned) | wall (s) | themed features | features/sec | probe sha_1t (s) |
+|---|---|---|---|---|---|
 {jvm_rows}
 
 **Scaling efficiency (2 → 8 pinned cores):
@@ -500,8 +507,8 @@ lineage-based fault recovery (see
 (`ActiveProcessorCount=1` each), real netty-serialized shuffle between
 them; the literal "N and 4N executors" shape.
 
-| level | cores (pinned) | wall (s) | themed features | features/sec |
-|---|---|---|---|---|
+| level | cores (pinned) | wall (s) | themed features | features/sec | probe sha_1t (s) |
+|---|---|---|---|---|---|
 {lc_rows}
 
 Executor-count efficiency (2 → 8 executors) = {eff_lc:.3f}.  This
