@@ -592,12 +592,29 @@ ceiling documented above, tracked round-over-round at constant input.
         if ("jvm", s["cpus"]) in results:
             base = results[("jvm", s["cpus"])]
             base_thr = base["features"] / base["sec"]
+            raw_ret = 100 * s["features_per_sec"] / base_thr
+            # Probe-normalize when both runs carry an in-child CPU probe:
+            # throughput scales ~1/sha_1t on this CPU-bound pipeline, so
+            # multiplying each throughput by its own probe wall cancels the
+            # VM-era drift between the two measurements.
+            norm_note = ""
+            s_probe = (s.get("vm_probe") or {}).get("sha_1t_sec")
+            b_probe = (base.get("vm_probe") or {}).get("sha_1t_sec")
+            if s_probe and b_probe:
+                norm_ret = raw_ret * s_probe / b_probe
+                norm_note = (
+                    f" Probe-normalized (each throughput × its own in-child"
+                    f" sha_1t wall, cancelling VM-era drift between the two"
+                    f" measurements): {norm_ret:.1f}% retention"
+                    f" (probes {b_probe} s vs {s_probe} s)."
+                )
             report += f"""
 Data-scalability: doubling the documents on FIXED {s["cpus"]} pinned
-cores retains {100 * s["features_per_sec"] / base_thr:.1f}% of per-core
+cores retains {raw_ret:.1f}% of per-core
 throughput ({base_thr:,.0f} → {s["features_per_sec"]:,.0f} features/sec)
 — no stage goes super-linear at 2×; the drop is shuffle spill at
-constant memory, the expected constant-hardware effect.  (Caveat when
+constant memory, the expected constant-hardware effect.{norm_note}
+(Caveat when
 reading across rounds: the stretch figure is whatever BENCH/STRETCH.json
 currently records — if it was measured in an earlier round / with a
 different best-of count than the local[{s["cpus"]}] row above, the ratio
