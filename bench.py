@@ -259,19 +259,25 @@ def main():
     prepare_osm_input(spark, 800, 200, 10, warm)
     osm_pipeline_counts(spark, warm)
 
+    # best-of-3 with the repeats INTERLEAVED round-robin across the
+    # suite (pass 1 of every query, then pass 2, then pass 3) instead
+    # of 3 consecutive runs per query: this VM's noise arrives in
+    # multi-second windows (a measured incident put all three
+    # consecutive repeats of one 1.5 s query at 12+ s while its
+    # neighbors ran clean — see BENCH/BASELINE.md), so spacing a
+    # query's repeats a full suite apart lets the min dodge any window
+    # shorter than a suite pass, at identical total work
+    queries = bench_queries(spark, sf_dir, scale)
     timings = {}
-    total = 0.0
-    for name, fn in bench_queries(spark, sf_dir, scale).items():
-        # best-of-3: this VM's run-to-run noise is large (measured up to
-        # 2-3x); the min is the stable, comparable-across-rounds figure
-        best = None
-        for _ in range(3):
+    for _ in range(3):
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    total = sum(timings.values())
 
     out = {
         "metric": "themed OSM export + operator suite wall time, local[%d]" % cpus,
