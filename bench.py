@@ -73,7 +73,9 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True):
 
     mapping = Mapping(BENCH_MAPPING)
     docs = spark.read.parquet(docs_path)
-    feats = assemble.assemble_features(decode.with_entity_meta(docs), checkpoint=True)
+    feats = assemble.assemble_features(
+        decode.with_entity_meta(docs), checkpoint=True, mapping=mapping
+    )
     filtered = prefilter(feats, mapping)
     filtered._persisted_intermediates = feats._persisted_intermediates
     aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])

@@ -104,6 +104,35 @@ def any_theme_predicate(themes, tags="tags", geom_type="geom_type") -> Column:
     return reduce(or_, [compile_theme(th, tags, geom_type) for th in themes])
 
 
+def any_theme_tag_predicate(themes, kinds, tags="tags") -> Column:
+    """NECESSARY-condition predicate for assembly-time pruning: TRUE
+    for every entity whose tags could match ANY theme that enables one
+    of the geometry `kinds` ("point"/"line"/"polygon") this entity
+    class can produce.
+
+    `compile_theme` is `geom-type gate AND matcher`, so matcher truth
+    on the entity's tags is a necessary condition for the feature to
+    survive `prefilter` — and the gate relaxes to "theme enables one
+    of `kinds`" because the entity's eventual geom_type is not known
+    before assembly (a way becomes a line OR a polygon).  Filtering
+    ways/nodes/relations with this BEFORE the way⋈node coordinate
+    join therefore keeps a strict superset of what prefilter keeps
+    (absent-true ``!=`` matchers may retain extra entities; they fall
+    out downstream), while the join and its materialized intermediates
+    shrink to the mapping's working set — the difference between
+    assembling every way on 100 TB and assembling only the themed
+    fraction."""
+    kinds = set(kinds)
+    preds = [
+        compile_matcher(th.matcher, tags)
+        for th in themes
+        if set(th.geom_type_names()) & kinds
+    ]
+    if not preds:
+        return F.lit(False)
+    return reduce(or_, preds)
+
+
 def select_keys_projection(theme, tags="tags", taken=()):
     """Per-theme output columns: one string column per selected key,
     missing tag → NULL (reference tabular.py:77-79, mapping.py:41).

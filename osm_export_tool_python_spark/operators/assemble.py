@@ -330,6 +330,7 @@ def assemble_features(
     docs_meta: DataFrame,
     persist_intermediate: bool = False,
     checkpoint: bool = False,
+    mapping=None,
 ) -> DataFrame:
     """Full assembly: documents-with-meta → unified feature frame.
 
@@ -337,6 +338,24 @@ def assemble_features(
     (closed_way_is_polygon gate at area time, reference tabular.py:310-311),
     applied here so the relation assembler only runs for area-tagged
     relations.
+
+    `mapping` (optional): prune assembly to the mapping's working set
+    BEFORE the way⋈node coordinate join.  Without it, every way's
+    geometry is assembled and materialized even when the mapping
+    themes 1% of them — the theme filter normally runs AFTER assembly,
+    and the persisted/checkpointed `wcoords` is a materialization
+    barrier Catalyst cannot push the predicate below.  With it, ways
+    are kept iff their tags satisfy any line/polygon theme's matcher
+    (`any_theme_tag_predicate` — a NECESSARY condition for surviving
+    `prefilter`, so this is a strict superset of the themed output and
+    downstream semantics are unchanged) OR they are members of a kept
+    multipolygon relation (member ways need no matching tags of their
+    own); relations prune on polygon-theme matchers, and the
+    point-feature branch prunes nodes on point-theme matchers (the
+    coordinate join still sees every node — untagged nodes anchor way
+    geometry).  Matched ways filter scan-side (no join); only the
+    non-matching remainder pays a compact pre-explode semi-join
+    against the member-id list.
 
     `persist_intermediate` caches (a) the one-pass decoded entities
     frame — the wide `spans` column is then scanned ONCE instead of
@@ -370,9 +389,39 @@ def assemble_features(
         entities.count()
         persisted.append(entities)
     nodes = decode.nodes_from_entities(entities)
-    ways = decode.ways_from_entities(entities)
-    way_refs = decode.way_refs_from_entities(entities)
     members = decode.rel_members_from_entities(entities)
+
+    themes = list(getattr(mapping, "themes", None) or ()) if mapping else []
+    point_nodes = nodes
+    if themes:
+        from ..functions.compile import any_theme_tag_predicate
+
+        point_nodes = nodes.where(
+            any_theme_tag_predicate(themes, ("point",))
+        )
+        members = members.where(
+            any_theme_tag_predicate(themes, ("polygon",))
+        )
+        member_ids = members.select(
+            F.col("way_id").alias("orig_id")
+        ).dropDuplicates(["orig_id"])
+        way_pred = any_theme_tag_predicate(themes, ("line", "polygon"))
+        way_entities = entities.where(F.col("src") == "way")
+        # matched ways filter scan-side; the non-matching remainder
+        # (needed only when a kept relation references them) pays one
+        # compact (pre-explode) semi-join against the member-id list.
+        # compile_matcher coalesces to two-valued booleans, so the
+        # ~way_pred complement is exact (no NULL-dropped middle).
+        kept_way_entities = way_entities.where(way_pred).unionByName(
+            way_entities.where(~way_pred).join(
+                member_ids, "orig_id", "left_semi"
+            )
+        )
+        ways = decode.ways_from_entities(kept_way_entities)
+        way_refs = decode.way_refs_from_entities(kept_way_entities)
+    else:
+        ways = decode.ways_from_entities(entities)
+        way_refs = decode.way_refs_from_entities(entities)
 
     wcoords = way_coords(way_refs, nodes, ways)
     if checkpoint:
@@ -385,7 +434,7 @@ def assemble_features(
         wcoords.count()
         persisted.append(wcoords)
 
-    pts = point_features(nodes)
+    pts = point_features(point_nodes)
     lines = line_features(wcoords)
     way_polys = closed_way_polygon_features(wcoords)
     rel_polys = relation_polygon_features(

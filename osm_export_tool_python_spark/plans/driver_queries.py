@@ -1641,7 +1641,13 @@ def q_osm_flagship_export(spark, sf_dir):
         "pois:\n  types: [points]\n  select: [amenity]\n"
         "  where: amenity IS NOT NULL\n"
     )
-    feats = prefilter(assemble.assemble_features(decode.with_entity_meta(docs)), mapping)
+    # mapping= prunes assembly to the themes' working set before the
+    # way⋈node join (a strict superset of prefilter's keep-set, so the
+    # DuckDB oracle gates the pruned path end-to-end)
+    feats = prefilter(
+        assemble.assemble_features(decode.with_entity_meta(docs), mapping=mapping),
+        mapping,
+    )
     return (
         theme_fanout(feats, mapping)
         .groupBy("theme", "geom_type")

@@ -129,8 +129,10 @@ def export(
     # each feed several concurrently-scheduled union branches — without
     # an eagerly-materialized cache every branch recomputes the whole
     # decode scan (measured 4x duplicate work at 24M docs)
+    # mapping-aware: the way⋈node join and the persisted intermediates
+    # shrink to the themes' working set (assemble_features docstring)
     feats = assemble.assemble_features(
-        meta, persist_intermediate=True, checkpoint=checkpoint
+        meta, persist_intermediate=True, checkpoint=checkpoint, mapping=mapping
     )
     intermediates = feats._persisted_intermediates
     feats = prefilter(feats, mapping)

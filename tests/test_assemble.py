@@ -140,3 +140,125 @@ def test_synth_assembly_counts(spark):
         for i in range(len(ro) - 1):
             a, b = ro[i], ro[i + 1] - 1
             assert p["xs"][a] == p["xs"][b] and p["ys"][a] == p["ys"][b]
+
+
+# ---------------------------------------------------------------------------
+# Mapping-aware assembly pruning: assemble_features(mapping=...) keeps a
+# strict SUPERSET of what prefilter keeps, so full vs pruned assembly must
+# agree row-for-row POST-prefilter.  Edge cases covered: untagged member
+# ways (kept only via the relation semi-join), absent-true `!=` matchers,
+# and a points-only mapping (no line/polygon theme => way_pred == False).
+# ---------------------------------------------------------------------------
+
+PRUNE_MAPPINGS = {
+    "bench_like": (
+        "buildings:\n  types: [polygons]\n  select: [name, building]\n"
+        "  where: building = 'yes'\n"
+        "roads:\n  types: [lines]\n  select: [highway, name]\n"
+        "  where: highway IS NOT NULL\n"
+        "pois:\n  types: [points]\n  select: [amenity, name]\n"
+        "  where: amenity IS NOT NULL\n"
+    ),
+    # absent-true != matcher: TRUE on entities lacking the key entirely
+    "absent_true_neq": (
+        "not_wall:\n  types: [lines, polygons]\n  select: [barrier]\n"
+        "  where: barrier != 'wall'\n"
+    ),
+    # points only: way_pred compiles to lit(False); every way must go
+    # through (and die in) the member-id semi-join
+    "points_only": (
+        "pois:\n  types: [points]\n  select: [name]\n"
+        "  where: name IS NOT NULL\n"
+    ),
+    # polygons only: untagged member ways 104/105/106 survive ONLY via
+    # the relation member semi-join; their line features then die in
+    # prefilter identically on both paths
+    "polygons_only": (
+        "buildings:\n  types: [polygons]\n  select: [building]\n"
+        "  where: building = 'yes'\n"
+    ),
+}
+
+
+def _canon(df):
+    """Set-comparable projection (tags map -> sorted entry array)."""
+    return df.select(
+        "src",
+        "osm_id",
+        "geom_type",
+        "xs",
+        "ys",
+        "ring_offsets",
+        "part_offsets",
+        F.array_sort(F.map_entries("tags")).alias("tag_entries"),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PRUNE_MAPPINGS))
+def test_mapping_pruned_assembly_matches_full(spark, name):
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators.themes import prefilter
+
+    mapping = Mapping(PRUNE_MAPPINGS[name])
+    docs = [
+        _doc("node/1", [("name", "a")], media=_wkb(0.0, 0.0)),
+        _doc("node/2", [], media=_wkb(1.0, 0.0)),
+        _doc("node/3", [], media=_wkb(1.0, 1.0)),
+        _doc("node/4", [], media=_wkb(0.0, 1.0)),
+        _doc("node/10", [("amenity", "bank")], media=_wkb(5.0, 5.0)),
+        _doc("node/11", [], media=_wkb(6.0, 6.0)),
+        _doc("node/20", [], media=_wkb(0.25, 0.25)),
+        _doc("node/21", [], media=_wkb(0.75, 0.25)),
+        _doc("node/22", [], media=_wkb(0.75, 0.75)),
+        _doc("node/23", [], media=_wkb(0.25, 0.75)),
+        _doc("way/100", [("highway", "primary")], refs=[10, 11]),
+        _doc("way/101", [("building", "yes")], refs=[1, 2, 3, 4, 1]),
+        _doc("way/102", [("barrier", "fence")], refs=[1, 2, 3, 4, 1]),
+        _doc("way/103", [("highway", "service")], refs=[10, 999]),
+        # untagged member ways: the semi-join is their only survival path
+        _doc("way/104", [], refs=[1, 2, 3]),
+        _doc("way/105", [], refs=[3, 4, 1]),
+        _doc("way/106", [], refs=[20, 21, 22, 23, 20]),
+        _doc(
+            "rel/200",
+            [("type", "multipolygon"), ("building", "yes")],
+            members=[("outer", 104), ("outer", 105), ("inner", 106)],
+        ),
+        _doc(
+            "rel/201",
+            [("type", "multipolygon"), ("building", "yes")],
+            members=[("outer", 100)],
+        ),
+        _doc(
+            "rel/202",
+            [("type", "multipolygon"), ("name", "no area key")],
+            members=[("outer", 101)],
+        ),
+    ]
+    meta = decode.with_entity_meta(spark.createDataFrame(docs, synth.SPAN_SCHEMA))
+    full = _canon(prefilter(assemble.assemble_features(meta), mapping))
+    pruned = _canon(
+        prefilter(assemble.assemble_features(meta, mapping=mapping), mapping)
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    assert full.count() == pruned.count()
+
+
+def test_mapping_pruned_assembly_matches_full_synth(spark):
+    """Same parity on the seeded synthesizer (400 nodes / 120 ways /
+    12 rels) with the bench mapping — broad-coverage backstop."""
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators.themes import prefilter
+
+    mapping = Mapping(PRUNE_MAPPINGS["bench_like"])
+    meta = decode.with_entity_meta(
+        synth.synthesize(spark, n_nodes=400, n_ways=120, n_rels=12)
+    )
+    full = _canon(prefilter(assemble.assemble_features(meta), mapping))
+    pruned = _canon(
+        prefilter(assemble.assemble_features(meta, mapping=mapping), mapping)
+    )
+    assert full.count() > 0
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
