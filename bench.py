@@ -46,12 +46,15 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path):
     ).parquet(path)
 
 
-def osm_pipeline_counts(spark, docs_path, exact_tiles=True):
+def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
     the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
     --ab-tiles uses to separate the exact kernel's genuine cost from
-    VM drift in cross-round wall comparisons.
+    VM drift in cross-round wall comparisons.  `prune=False` disables
+    mapping-aware assembly pruning (assembles EVERY way, theme filter
+    only after assembly) — the --ab-prune knob; outputs are identical
+    either way (parity gates in tests/test_assemble.py).
 
     Lineage-truncation shape (`checkpoint=True` + localCheckpoint of
     the themed frame): each materialized intermediate becomes a flat
@@ -74,7 +77,9 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True):
     mapping = Mapping(BENCH_MAPPING)
     docs = spark.read.parquet(docs_path)
     feats = assemble.assemble_features(
-        decode.with_entity_meta(docs), checkpoint=True, mapping=mapping
+        decode.with_entity_meta(docs),
+        checkpoint=True,
+        mapping=mapping if prune else None,
     )
     filtered = prefilter(feats, mapping)
     filtered._persisted_intermediates = feats._persisted_intermediates

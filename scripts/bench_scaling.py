@@ -186,6 +186,80 @@ def ab_tiles_child(cpus: int, docs_path: str):
     spark.stop()
 
 
+def ab_prune(reuse: bool = False):
+    """Mapping-aware assembly pruning A/B on the scaling input
+    (24.2M docs): SAME session, PAIRED alternating order
+    (pruned, full, pruned, full), pinned local[32].  The only
+    difference between arms is whether ways/nodes/relations are
+    filtered to the mapping's tag working set BEFORE the way⋈node
+    join (outputs are identical; parity-gated in
+    tests/test_assemble.py).  Writes BENCH/AB_PRUNE.json."""
+    if not reuse or not os.path.exists(DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-prune-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, DOCS_PATH)
+        spark.stop()
+    cpus = 32
+    out = subprocess.run(
+        ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+         os.path.abspath(__file__), "--ab-prune-child", str(cpus), DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AB_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("ab-prune child failed")
+    rec = json.loads(line[-1][len("AB_RESULT "):])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_PRUNE.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+def ab_prune_child(cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, prepare_osm_input, vm_probe
+
+    spark = _session("jvm", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup", prune=False)
+    probe = vm_probe(cpus)
+
+    walls = {"pruned": [], "full": []}
+    counts = {}
+    for _round in range(2):
+        for arm, prune in (("pruned", True), ("full", False)):
+            t0 = time.perf_counter()
+            nf, nt = osm_pipeline_counts(spark, docs_path, prune=prune)
+            walls[arm].append(round(time.perf_counter() - t0, 3))
+            counts[arm] = {"features": nf, "tiles": nt}
+    assert counts["pruned"] == counts["full"], counts
+    best_p, best_f = min(walls["pruned"]), min(walls["full"])
+    print(
+        "AB_RESULT " + json.dumps(
+            {
+                "protocol": "pinned local[%d], one session, paired alternating "
+                            "(pruned, full) x2, best-of-2 per arm" % cpus,
+                "docs_path": docs_path,
+                "cpus": cpus,
+                "walls": walls,
+                "pruned_sec": best_p,
+                "full_sec": best_f,
+                "full_over_pruned": round(best_f / best_p, 3),
+                "counts": counts,
+                "vm_probe": probe,
+            }
+        )
+    )
+    spark.stop()
+
+
 def skew_stats(docs_path=None):
     """Hot-cell skew: rows per tile shuffle key at z8, unsalted vs
     salted (salt=16)."""
@@ -327,6 +401,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-tiles-child":
         ab_tiles_child(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-prune":
+        ab_prune(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-prune-child":
+        ab_prune_child(int(sys.argv[2]), sys.argv[3])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--report-only":
         # re-render BENCH/BASELINE.md from the persisted level results
         # (BENCH/scaling_results.json) + the CURRENT STRETCH.json — for
@@ -429,8 +509,9 @@ def write_report(results, n_docs, unsalted, salted):
 ## Workload
 
 Full themed export pipeline (read parquet documents → span decode →
-way⋈node assembly → multipolygon assembly → any-theme prefilter → AOI
-clip → theme fan-out → count + tile assignment z2-8) on a synthesized
+mapping-pruned way⋈node assembly → multipolygon assembly → any-theme
+prefilter → AOI clip → theme fan-out → count + tile assignment z2-8,
+`bench.osm_pipeline_counts` defaults) on a synthesized
 interleaved documents table: {N_NODES:,} nodes / {N_WAYS:,} ways /
 {N_RELS:,} relations = {n_docs:,} documents, 30% of nodes packed into
 3 hot cities (density skew).
@@ -561,6 +642,30 @@ machine drift.  The A/B figures above are re-measured each round with
 the then-current kernel — round 5's traverse-once/shift-derive
 rewrite (operators/tiles.exact_cells_batch) attacks exactly this
 premium.
+"""
+
+    abp_path = os.path.join(REPO, "BENCH", "AB_PRUNE.json")
+    if os.path.exists(abp_path):
+        abp = json.load(open(abp_path))
+        report += f"""
+## Mapping-aware assembly pruning A/B
+
+{abp["protocol"]} on the {n_docs:,}-doc scaling input:
+pruned **{abp["pruned_sec"]} s** vs full-assembly **{abp["full_sec"]} s** →
+full/pruned = **{abp["full_over_pruned"]}×** (walls: pruned
+{abp["walls"]["pruned"]}, full {abp["walls"]["full"]}; in-child pinned
+probe sha_1t {abp["vm_probe"]["sha_1t_sec"]} s; identical outputs
+asserted in-run: {abp["counts"]["pruned"]["features"]:,} features /
+{abp["counts"]["pruned"]["tiles"]:,} tiles both arms).  The pruned arm
+filters ways/nodes/relations to the mapping's tag working set BEFORE
+the way⋈node coordinate join (untagged member ways recovered by
+semi-join); the full arm assembles every way and theme-filters after.
+At 100 TB the gap widens with mapping selectivity — this synth corpus
+keeps ~45% of ways, a production HDX-style mapping over planet data
+keeps far less.  (The first pruned wall is the session's first read of
+the 24M-doc input — cold page cache on this 0.4 GB/s-scratch VM — which
+is why each arm is best-of-2; both arms' warm walls are the comparable
+pair.)
 """
 
     stretch_path = os.path.join(REPO, "BENCH", "STRETCH.json")
