@@ -541,7 +541,16 @@ separate engine changes from this VM's ~1.6× round-to-round drift.
 
 **Scaling efficiency (2 → 8 pinned cores):
 (thr_8 / thr_2) / 4 = {eff_jvm_2_8:.3f}** (target ≥ 0.8:
-{"MET" if eff_jvm_2_8 >= 0.8 else "NOT met"}).
+{"MET" if eff_jvm_2_8 >= 0.8 else "NOT met"}).{'''
+
+A measured ratio above 1.0 is an artifact of the 2-core envelope, not
+magic: pinned to 2 cores, the JVM's task threads share the affinity
+mask with its GC/JIT/parquet-IO threads AND the forked Python/Arrow
+workers of the exact-tile kernel — a fixed oversubscription tax whose
+relative weight shrinks as the envelope widens (and the jvm2 level is
+best-of-1 where jvm8 is best-of-3; per-level probes above show the VM
+era each row was measured in).  Read it as "≥ linear within
+measurement noise", and the 8→32 row as the shared-heap ceiling.''' if eff_jvm_2_8 > 1.0 else ""}
 
 8 → 32 pinned cores = {eff_jvm_8_32:.3f}: the single shared JVM heap's
 allocation/memory-bandwidth ceiling, not the engine (microbenchmarks
