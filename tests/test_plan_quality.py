@@ -194,3 +194,31 @@ def test_exact_tile_assignment_single_pass(spark):
     assert "Union" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-vectorized only
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_mapping_pruned_assembly_plan_shape(spark, tmp_path):
+    """Mapping-aware assembly pruning must actually reach the plan:
+    the way branch carries a LeftSemi join (member-way recovery) and
+    tag filters BELOW the way⋈node sort-merge/shuffle join — i.e. the
+    pruning happens scan-side, before the expensive coordinate join —
+    and introduces no cartesian product."""
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    mapping = Mapping(
+        "buildings:\n  types: [polygons]\n  select: [building]\n"
+        "  where: building = 'yes'\n"
+        "roads:\n  types: [lines]\n  select: [highway]\n"
+        "  where: highway IS NOT NULL\n"
+    )
+    p = str(tmp_path / "docs")
+    synth.synthesize(spark, 200, 50, 5).write.parquet(p)
+    meta = decode.with_entity_meta(spark.read.parquet(p))
+    pruned = assemble.assemble_features(meta, mapping=mapping)
+    plan = _plan(pruned)
+    assert "LeftSemi" in plan, "member-way recovery semi-join missing"
+    assert "Cartesian" not in plan
+    # the full path has no semi-join: the knob is what adds it
+    full_plan = _plan(assemble.assemble_features(meta))
+    assert "LeftSemi" not in full_plan
