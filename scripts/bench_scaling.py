@@ -52,7 +52,7 @@ LEVELS = [("jvm", 2), ("jvm", 8), ("jvm", 32), ("lc", 2), ("lc", 8)]
 # jvm8 is the graded numerator of the 2→8 efficiency ratio and showed
 # the widest run-to-run spread on this VM (253-288 s across rounds) —
 # best-of-3 where the others are best-of-≤2
-RUNS_PER_LEVEL = {("jvm", 2): 1, ("jvm", 8): 3, ("jvm", 32): 2, ("lc", 2): 1, ("lc", 8): 1}
+RUNS_PER_LEVEL = {("jvm", 2): 2, ("jvm", 8): 3, ("jvm", 32): 2, ("lc", 2): 1, ("lc", 8): 1}
 LC_EXEC_MEM_MB = 12288  # same per-executor (= per-core) memory at N and 4N
 
 
@@ -504,6 +504,21 @@ def write_report(results, n_docs, unsalted, salted):
     lc_rows = "\n".join(row("lc", c) for (m, c) in LEVELS if m == "lc")
     jvm_rows = "\n".join(row("jvm", c) for (m, c) in LEVELS if m == "jvm")
 
+    # a level re-measured across more than one fresh-JVM session keeps
+    # its full wall spread in scaling_results.json; surface it so the
+    # best-of-N denominator is auditable
+    jvm2_runs = (results.get(("jvm", 2)) or {}).get("runs_all_sessions")
+    jvm2_runs_note = (
+        "\n\nThe local[2] denominator is best-of-%d across independent "
+        "fresh-JVM pinned sessions (walls: %s s; the recorded probe is "
+        "the best run's).  Its run-to-run spread is the widest of any "
+        "level — a 2-core envelope shares the affinity mask between "
+        "task threads, GC/JIT/parquet-IO threads and the forked "
+        "Python/Arrow workers, so any transient imbalance moves the "
+        "whole wall." % (len(jvm2_runs), ", ".join(str(w) for w in jvm2_runs))
+        if jvm2_runs else ""
+    )
+
     report = f"""# BENCH/BASELINE — scaling & skew evidence
 
 ## Workload
@@ -550,7 +565,7 @@ workers of the exact-tile kernel — a fixed oversubscription tax whose
 relative weight shrinks as the envelope widens (and the jvm2 level is
 best-of-1 where jvm8 is best-of-3; per-level probes above show the VM
 era each row was measured in).  Read it as "≥ linear within
-measurement noise", and the 8→32 row as the shared-heap ceiling.''' if eff_jvm_2_8 > 1.0 else ""}
+measurement noise", and the 8→32 row as the shared-heap ceiling.''' if eff_jvm_2_8 > 1.0 else ""}{jvm2_runs_note}
 
 8 → 32 pinned cores = {eff_jvm_8_32:.3f}: the single shared JVM heap's
 allocation/memory-bandwidth ceiling, not the engine (microbenchmarks
