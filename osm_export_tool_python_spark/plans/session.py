@@ -20,7 +20,12 @@ def package_zip(path=None):
     root = os.path.dirname(pkg_dir)
     name = os.path.basename(pkg_dir)
     if path is None:
-        path = os.path.join(tempfile.gettempdir(), "%s_pyfiles.zip" % name)
+        # per-process name: concurrent driver JVMs (multi-JVM scaling
+        # evidence, parallel test runs) must not truncate a zip another
+        # process's executors are still reading
+        path = os.path.join(
+            tempfile.gettempdir(), "%s_pyfiles_%d.zip" % (name, os.getpid())
+        )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             for fn in filenames:
