@@ -36,17 +36,21 @@ BENCH_MAPPING = (
 )
 
 
-def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path):
+def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path, compact=False):
     """Untimed: materialize the interleaved documents table (the
-    engine's input is a table on disk per input_hint, not a generator)."""
+    engine's input is a table on disk per input_hint, not a generator).
+    `compact=True` places nodes on a Z-order curve so ways are
+    realistically small (see sources/synth.node_lonlat)."""
     from osm_export_tool_python_spark.sources import synth
 
-    synth.synthesize(spark, n_nodes=n_nodes, n_ways=n_ways, n_rels=n_rels).write.mode(
-        "overwrite"
-    ).parquet(path)
+    synth.synthesize(
+        spark, n_nodes=n_nodes, n_ways=n_ways, n_rels=n_rels, compact=compact
+    ).write.mode("overwrite").parquet(path)
 
 
-def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True):
+def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
+                        strip_tiles=True, collect_routing=None,
+                        tile_zooms=(2, 8)):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
     the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
@@ -55,6 +59,12 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True):
     mapping-aware assembly pruning (assembles EVERY way, theme filter
     only after assembly) — the --ab-prune knob; outputs are identical
     either way (parity gates in tests/test_assemble.py).
+    `strip_tiles=False` disables the 1×N/N×1 pure-Column strip fast
+    path inside exact tile assignment — the --ab-strip knob (parity
+    gates in tests/test_tiles.py).  Pass a dict as `collect_routing`
+    to have it filled with the deduped feature set's per-route row
+    counts (single/strip/kernel at max zoom) — diagnostic only, adds
+    one aggregation pass.
 
     Lineage-truncation shape (`checkpoint=True` + localCheckpoint of
     the themed frame): each materialized intermediate becomes a flat
@@ -96,7 +106,18 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True):
         deduped = themed.repartition(nparts, "osm_id", "src").dropDuplicates(
             ["osm_id", "src"]
         )
-        n_tiles = tile_counts(deduped, 2, 8, exact=exact_tiles).count()
+        n_tiles = tile_counts(
+            deduped, tile_zooms[0], tile_zooms[1], exact=exact_tiles,
+            strip=strip_tiles
+        ).count()
+        if collect_routing is not None:
+            from osm_export_tool_python_spark.operators.tiles import (
+                routing_class_counts,
+            )
+
+            collect_routing.update(
+                routing_class_counts(deduped, tile_zooms[1])
+            )
     finally:
         lineage.release(themed, *feats._persisted_intermediates)
     return n_features, n_tiles

@@ -532,13 +532,67 @@ def exact_cells_udf(min_zoom: int, max_zoom: int):
     return _cells
 
 
-def with_tile_cells_exact(features: DataFrame, min_zoom: int, max_zoom: int) -> DataFrame:
+# Longest bbox cover (tiles per axis at max_zoom) that the pure-Column
+# strip path handles; longer strips go to the kernel.  8 tiles at z8 is
+# ~11° of longitude — far under the 180° wrap guard — and bounds the
+# per-row sequence materialization.
+STRIP_MAX_TILES = 8
+
+
+def _routing_predicates(max_zoom: int):
+    """(single, is_strip) routing Columns for exact tile assignment —
+    shared by `with_tile_cells_exact` and `routing_class_counts`."""
+    zm = F.lit(max_zoom)
+    nx = tile_x_col(F.array_max("xs"), zm) - tile_x_col(F.array_min("xs"), zm)
+    ny = tile_y_col(F.array_min("ys"), zm) - tile_y_col(F.array_max("ys"), zm)
+    single = (F.col("geom_type") == "point") | ((nx == 0) & (ny == 0))
+    # exactly one part: NULL offsets, or the trivial [0, len(xs)]
+    # cover — anything else (multi-part lines from clipping,
+    # multi-ring polygons) may be DISCONNECTED, where the strip
+    # argument fails (two parts at opposite strip ends leave gap
+    # tiles the bbox cover would wrongly include)
+    one_part = F.col("ring_offsets").isNull() | (
+        (F.size("ring_offsets") == 2)
+        & (F.element_at("ring_offsets", 1) == F.lit(0))
+        & (F.element_at("ring_offsets", 2) == F.size("xs"))
+    )
+    lim = F.lit(STRIP_MAX_TILES - 1)
+    is_strip = (
+        F.col("geom_type").isin("line", "polygon")
+        & one_part
+        & ((F.array_max("xs") - F.array_min("xs")) < F.lit(180.0))
+        & (
+            ((ny == 0) & (nx > 0) & (nx <= lim))
+            | ((nx == 0) & (ny > 0) & (ny <= lim))
+        )
+    )
+    return single, is_strip
+
+
+def routing_class_counts(features: DataFrame, max_zoom: int) -> dict:
+    """Diagnostic: how many feature rows each exact-assignment route
+    would take at `max_zoom` — {'single': n, 'strip': n, 'kernel': n}.
+    One aggregation pass, no tile fanout."""
+    single, is_strip = _routing_predicates(max_zoom)
+    row = features.select(
+        F.sum(F.when(single, 1).otherwise(0)).alias("single"),
+        F.sum(F.when(~single & is_strip, 1).otherwise(0)).alias("strip"),
+        F.sum(
+            F.when(single | is_strip, 0).otherwise(1)
+        ).alias("kernel"),
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in ("single", "strip", "kernel")}
+
+
+def with_tile_cells_exact(
+    features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = True
+) -> DataFrame:
     """Add `cell` (exploded): one row per (feature, tile, zoom) with
     INTERSECTION semantics — a tile appears iff the feature's geometry
     actually touches it.  Fanout is O(tiles intersected): no cap,
     nothing dropped.
 
-    SINGLE-PASS two-way routing (no union, one scan, one explode):
+    SINGLE-PASS three-way routing (no union, one scan, one explode):
       - SINGLE-TILE features — points, and any geometry whose bbox
         fits in one tile at max_zoom (hence at every coarser zoom too,
         since tiles nest): exactly one tile per zoom, for ANY geometry
@@ -547,22 +601,46 @@ def with_tile_cells_exact(features: DataFrame, min_zoom: int, max_zoom: int) -> 
         almost every way; it compiles to ONE flat pure-Column
         `transform` over the zoom range — one small array per row, no
         Python, codegen-friendly;
-      - everything else (tile-boundary straddlers): the vectorized
-        supercover + scanline kernel.  The kernel UDF is fed NULLs for
-        single-tile rows — pandas UDFs evaluate unconditionally, so
-        the nulling keeps the Arrow transfer proportional to the
-        straddler subset only."""
-    zm = F.lit(max_zoom)
-    nx = tile_x_col(F.array_max("xs"), zm) - tile_x_col(F.array_min("xs"), zm)
-    ny = tile_y_col(F.array_min("ys"), zm) - tile_y_col(F.array_max("ys"), zm)
-    single = (F.col("geom_type") == "point") | ((nx == 0) & (ny == 0))
+      - STRIP features — a SINGLE CONNECTED part (one polyline, or one
+        polygon ring) whose bbox cover at max_zoom is one tile ROW or
+        one tile COLUMN (1×N / N×1, N ≤ STRIP_MAX_TILES): the exact
+        tile set IS the bbox cover, again pure Column.  Proof: ⊆ — the
+        geometry and (for polygons) its even-odd interior lie inside
+        the convex bbox, which lies inside the strip; ⊇ — a connected
+        path whose lon (resp. lat) extent reaches the first and last
+        tile of the strip takes every intermediate value, so it has a
+        point strictly interior to every intermediate tile's axis band
+        while staying inside the strip's single cross-axis band.
+        Coarser zooms stay exact because shifting a contiguous tile
+        range yields the contiguous bbox-cover range at that zoom and
+        a 1-wide axis stays 1-wide (tiles nest).  The lon-span < 180°
+        guard excludes any geometry containing an antimeridian-wrapped
+        segment (such a segment's raw endpoints differ by > 180°).
+        Straddling ONE tile edge is ~linear in feature size while
+        straddling a corner is ~quadratic, so strips are the dominant
+        straddler class — routing them Column-side shrinks the Arrow
+        kernel's input to true multi-row-and-column features;
+      - everything else: the vectorized supercover + scanline kernel.
+        The kernel UDF is fed NULLs for Column-routed rows — pandas
+        UDFs evaluate unconditionally, so the nulling keeps the Arrow
+        transfer proportional to the kernel subset only.
+
+    Measure-zero boundary contacts (a vertex exactly on a tile edge)
+    may differ between the Column and kernel routes, matching the
+    module contract (see the traversal-convention note above
+    `_segment_supercover`).  ``strip=False`` is the A/B knob that
+    collapses the routing back to single-tile-vs-kernel."""
+    single, is_strip = _routing_predicates(max_zoom)
+    if not strip:
+        is_strip = F.lit(False)
+    routed = single | is_strip
 
     narr = F.lit(None).cast("array<double>")
     kernel_cells = exact_cells_udf(min_zoom, max_zoom)(
-        F.when(single, F.lit(None).cast("string")).otherwise(F.col("geom_type")),
-        F.when(single, narr).otherwise(F.col("xs")),
-        F.when(single, narr).otherwise(F.col("ys")),
-        F.when(single, F.lit(None).cast("array<int>")).otherwise(
+        F.when(routed, F.lit(None).cast("string")).otherwise(F.col("geom_type")),
+        F.when(routed, narr).otherwise(F.col("xs")),
+        F.when(routed, narr).otherwise(F.col("ys")),
+        F.when(routed, F.lit(None).cast("array<int>")).otherwise(
             F.col("ring_offsets")
         ),
     )
@@ -574,9 +652,36 @@ def with_tile_cells_exact(features: DataFrame, min_zoom: int, max_zoom: int) -> 
             tile_y_col(F.array_min("ys"), z),
         ),
     )
+    # the strip's bbox cover, every zoom in one flat array; one of the
+    # two per-zoom sequences always has length 1 (strip invariant), so
+    # this materializes exactly the strip cells
+    strip_cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(min_zoom), F.lit(max_zoom)),
+            lambda z: F.flatten(
+                F.transform(
+                    F.sequence(
+                        tile_x_col(F.array_min("xs"), z),
+                        tile_x_col(F.array_max("xs"), z),
+                    ),
+                    lambda x: F.transform(
+                        F.sequence(
+                            tile_y_col(F.array_max("ys"), z),
+                            tile_y_col(F.array_min("ys"), z),
+                        ),
+                        lambda y: cell_col(z, x, y),
+                    ),
+                )
+            ),
+        )
+    )
     # kernel output is already deduped (per-level shift chain), so no
     # array_distinct pass is needed here
-    cells = F.when(single, single_cells).otherwise(kernel_cells)
+    cells = (
+        F.when(single, single_cells)
+        .when(is_strip, strip_cells)
+        .otherwise(kernel_cells)
+    )
     return features.withColumn("cell", F.explode(cells))
 
 
@@ -591,13 +696,17 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
 
 
 def tile_counts(
-    features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True
+    features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True,
+    strip: bool = True,
 ) -> DataFrame:
     """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
     `exact=True` (default) assigns by geometry intersection; False is
-    the pure-Column bbox cover (superset)."""
-    assigner = with_tile_cells_exact if exact else with_tile_cells
-    with_cells = assigner(features, min_zoom, max_zoom)
+    the pure-Column bbox cover (superset).  `strip=False` disables the
+    1×N/N×1 pure-Column fast path inside exact assignment (A/B knob)."""
+    if exact:
+        with_cells = with_tile_cells_exact(features, min_zoom, max_zoom, strip=strip)
+    else:
+        with_cells = with_tile_cells(features, min_zoom, max_zoom)
     counts = with_cells.groupBy("cell").agg(F.count("*").alias("n_features"))
     return counts.select(
         decode_cell_cols("cell"),

@@ -75,9 +75,45 @@ TAG_CHOICES = [
 UNTAGGED_FRACTION = 0.18  # skipped by the engine (reference tabular.py:264)
 
 
-def node_lonlat(node_ids, hot_fraction=0.3):
-    """Deterministic node placement with density skew."""
+# compact mode: node id → cell along a BLOCK-CYCLIC Z-order curve over
+# a 2^13 × 2^13 grid spanning the world region (~0.007° ≈ 800 m
+# cells).  Ids are grouped into blocks of 4^6 = 4096 consecutive ids;
+# each block is one 64×64-cell Z-square (a Z-curve run of 4^k indices
+# aligned to 4^k IS a 2^k × 2^k square), and the SQUARE's position is
+# hash-scattered over the 128×128 grid of squares.  So the CONSECUTIVE
+# id runs that ways reference become spatially compact features (real
+# OSM scales: metres-to-km, ≪ a z8 tile) at ANY n_nodes — the naive
+# `curve_index = id` mapping would pack all ids into one corner of the
+# grid and make corpus geography a function of the scale factor.
+_COMPACT_BITS = 13
+_COMPACT_BLOCK_BITS = 6  # 4^6 ids per block = a 64x64-cell square
+
+
+def node_lonlat(node_ids, hot_fraction=0.3, compact=False):
+    """Deterministic node placement.  Default: independent hash draw
+    per id with hot-city density skew (the skew-evidence corpus; a
+    multi-node way spans the whole region).  ``compact=True``: ids
+    walk a block-cyclic Z-order curve with sub-cell jitter —
+    consecutive ids are spatially adjacent (block-crossing prob
+    ~0.03%/id), so ways become realistically SMALL; the density-skew
+    knob is traded away (block scatter is uniform)."""
     ids = np.asarray(node_ids, dtype=np.uint64)
+    if compact:
+        from ..functions.cells import _compact_bits
+
+        n = np.uint64(1) << np.uint64(_COMPACT_BITS)
+        bb = np.uint64(2 * _COMPACT_BLOCK_BITS)
+        n_slots = (n * n) >> bb  # 4^(13-6) block squares
+        block = ids >> bb
+        slot = _splitmix64(block * _U64(0x9E3779B97F4A7C15) + _U64(41)) % n_slots
+        idx = (slot << bb) | (ids & ((_U64(1) << bb) - _U64(1)))
+        gx = _compact_bits(idx).astype(np.float64)
+        gy = _compact_bits(idx >> np.uint64(1)).astype(np.float64)
+        jx = _u01(ids, 7)
+        jy = _u01(ids, 8)
+        lon = LON_RANGE[0] + (gx + jx) / float(n) * (LON_RANGE[1] - LON_RANGE[0])
+        lat = LAT_RANGE[0] + (gy + jy) / float(n) * (LAT_RANGE[1] - LAT_RANGE[0])
+        return np.clip(lon, -179.9, 179.9), np.clip(lat, -84.9, 84.9)
     u_hot = _u01(ids, 1)
     hot = u_hot < hot_fraction
     which = (_u01(ids, 2) * len(HOT_CELLS)).astype(np.int64)
@@ -139,8 +175,8 @@ def entity_tags(ids, salt_base=100):
     return out
 
 
-def _node_rows(ids):
-    lon, lat = node_lonlat(ids)
+def _node_rows(ids, compact=False):
+    lon, lat = node_lonlat(ids, compact=compact)
     wkb = point_wkb_hex(lon, lat)
     tag_lists = entity_tags(ids, salt_base=100)
     rows = []
@@ -161,7 +197,8 @@ def _node_rows(ids):
     return rows
 
 
-def _way_rows(ids, n_nodes, closed_fraction=0.45, missing_ref_fraction=0.01):
+def _way_rows(ids, n_nodes, closed_fraction=0.45, missing_ref_fraction=0.01,
+              compact=False):
     """Way i references a locality-preserving run of node ids.  Closed
     ways repeat their first ref last.  A small fraction references one
     node id beyond the node table → 'Incomplete way' dropout
@@ -182,7 +219,7 @@ def _way_rows(ids, n_nodes, closed_fraction=0.45, missing_ref_fraction=0.01):
             # ring is star-shaped (simple polygon) — real closed ways
             # are simple; random order would make self-intersecting
             # bowties whose shoelace area/centroid are meaningless
-            lon, lat = node_lonlat(np.array(refs, dtype=np.uint64))
+            lon, lat = node_lonlat(np.array(refs, dtype=np.uint64), compact=compact)
             ang = np.arctan2(lat - lat.mean(), lon - lon.mean())
             refs = [refs[j] for j in np.argsort(ang, kind="stable")]
             refs = refs + [refs[0]]
@@ -259,7 +296,8 @@ def _rel_rows(ids, n_ways):
 
 
 def synthesize(
-    spark, n_nodes=10000, n_ways=2000, n_rels=100, partitions=None, hot_keys=()
+    spark, n_nodes=10000, n_ways=2000, n_rels=100, partitions=None, hot_keys=(),
+    compact=False,
 ):
     """Distributed deterministic documents table.  Entities are encoded
     into one `spark.range` id space: [0,n_nodes) nodes, then ways, then
@@ -286,10 +324,10 @@ def synthesize(
             rows = []
             node_ids = ids[ids < n_nodes]
             if len(node_ids):
-                rows += _node_rows(node_ids.tolist())
+                rows += _node_rows(node_ids.tolist(), compact=compact)
             way_ids = ids[(ids >= n_nodes) & (ids < n_nodes + n_ways)] - n_nodes
             if len(way_ids):
-                rows += _way_rows(way_ids.tolist(), n_nodes)
+                rows += _way_rows(way_ids.tolist(), n_nodes, compact=compact)
             rel_ids = ids[ids >= n_nodes + n_ways] - (n_nodes + n_ways)
             if len(rel_ids):
                 rows += _rel_rows(rel_ids.tolist(), n_ways)

@@ -260,6 +260,102 @@ def ab_prune_child(cpus: int, docs_path: str):
     spark.stop()
 
 
+COMPACT_DOCS_PATH = "/tmp/spark_osm_compact_docs"
+
+
+def ab_strip(reuse: bool = False):
+    """Strip-routing A/B on a COMPACT-WAYS corpus (same 24.2M doc
+    counts as the scaling input, nodes on a Z-order curve so ways are
+    realistically small — see sources/synth.node_lonlat) with the tile
+    stage at z2-12: SAME session, PAIRED alternating order (strip,
+    nostrip, strip, nostrip), pinned local[32].  The only difference
+    between arms is whether single-part 1×N/N×1 features take the
+    pure-Column strip fast path or the Arrow kernel (outputs are
+    identical; parity fuzz-gated in tests/test_tiles.py).  Also
+    records how many deduped feature rows each route serves.  The
+    DEFAULT synth corpus is useless for this measurement: its ways
+    reference consecutive node ids whose positions are independent
+    hash draws, so every multi-node way spans the whole region —
+    straddlers are ~25×38-tile blobs and the strip class is empty.
+    Real OSM ways are metres-to-km; the compact corpus models that.
+    Writes BENCH/AB_STRIP.json."""
+    if not reuse or not os.path.exists(COMPACT_DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-strip-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, COMPACT_DOCS_PATH,
+                          compact=True)
+        spark.stop()
+    cpus = 32
+    out = subprocess.run(
+        ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+         os.path.abspath(__file__), "--ab-strip-child", str(cpus),
+         COMPACT_DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AB_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("ab-strip child failed")
+    rec = json.loads(line[-1][len("AB_RESULT "):])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_STRIP.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+def ab_strip_child(cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, prepare_osm_input, vm_probe
+
+    spark = _session("jvm", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup",
+                        strip_tiles=False)
+    probe = vm_probe(cpus)
+
+    walls = {"strip": [], "nostrip": []}
+    counts = {}
+    routing = {}
+    zooms = (2, 12)
+    for _round in range(2):
+        for arm, strip in (("strip", True), ("nostrip", False)):
+            t0 = time.perf_counter()
+            nf, nt = osm_pipeline_counts(spark, docs_path, strip_tiles=strip,
+                                         tile_zooms=zooms)
+            walls[arm].append(round(time.perf_counter() - t0, 3))
+            counts[arm] = {"features": nf, "tiles": nt}
+    assert counts["strip"] == counts["nostrip"], counts
+    # one untimed diagnostic pass: rows per route over the deduped set
+    osm_pipeline_counts(spark, docs_path, collect_routing=routing,
+                        tile_zooms=zooms)
+    best_s, best_n = min(walls["strip"]), min(walls["nostrip"])
+    print(
+        "AB_RESULT " + json.dumps(
+            {
+                "protocol": "pinned local[%d], one session, paired alternating "
+                            "(strip, nostrip) x2, best-of-2 per arm, "
+                            "COMPACT-ways corpus, tile stage z2-12" % cpus,
+                "docs_path": docs_path,
+                "cpus": cpus,
+                "walls": walls,
+                "strip_sec": best_s,
+                "nostrip_sec": best_n,
+                "nostrip_over_strip": round(best_n / best_s, 3),
+                "counts": counts,
+                "routing_rows": routing,
+                "vm_probe": probe,
+            }
+        )
+    )
+    spark.stop()
+
+
 # --multijvm: weak-scaling across PROCESS boundaries (the judge's open
 # question on the 8->32 single-JVM ceiling).  A real cluster going
 # N -> 4N executors multiplies JVM heaps and GC along with cores; a
@@ -543,6 +639,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--multijvm-child":
         multijvm_child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
                        int(sys.argv[5]), int(sys.argv[6]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-strip":
+        ab_strip(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-strip-child":
+        ab_strip_child(int(sys.argv[2]), sys.argv[3])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-prune":
         ab_prune(reuse="--reuse" in sys.argv)
@@ -852,6 +954,39 @@ machine drift.  The A/B figures above are re-measured each round with
 the then-current kernel — round 5's traverse-once/shift-derive
 rewrite (operators/tiles.exact_cells_batch) attacks exactly this
 premium.
+"""
+
+    abs_path = os.path.join(REPO, "BENCH", "AB_STRIP.json")
+    if os.path.exists(abs_path):
+        ab2 = json.load(open(abs_path))
+        rr = ab2.get("routing_rows") or {}
+        n_straddle = (rr.get("strip") or 0) + (rr.get("kernel") or 0)
+        share = (
+            " — **%.1f%% of straddlers**" % (100.0 * rr["strip"] / n_straddle)
+            if n_straddle and rr.get("strip") is not None
+            else ""
+        )
+        report += f"""
+## Strip-routing A/B (1×N/N×1 pure-Column fast path)
+
+{ab2["protocol"]} on the {n_docs:,}-doc scaling input:
+strip **{ab2["strip_sec"]} s** vs kernel-only **{ab2["nostrip_sec"]} s** →
+nostrip/strip = **{ab2["nostrip_over_strip"]}×** (walls: strip
+{ab2["walls"]["strip"]}, nostrip {ab2["walls"]["nostrip"]}; in-child
+pinned probe sha_1t {ab2["vm_probe"]["sha_1t_sec"]} s; identical
+outputs asserted in-run: {ab2["counts"]["strip"]["features"]:,}
+features / {ab2["counts"]["strip"]["tiles"]:,} tiles both arms).
+A single CONNECTED part whose bbox cover at max zoom is one tile row
+or column has an exact tile set EQUAL to its bbox cover (proof in
+operators/tiles.with_tile_cells_exact), so those rows stay pure
+Column; straddling one tile edge is ~linear in feature size while
+straddling a corner is ~quadratic, so strips dominate the straddler
+population.  Deduped feature rows per route:
+single {rr.get("single", 0):,} / strip {rr.get("strip", 0):,} /
+kernel {rr.get("kernel", 0):,}{share} routed out of the Arrow kernel.
+Exactness is fuzz-gated (strip vs kernel parity on random strip
+lines/rings) plus disconnected-multipart and antimeridian guard gates
+in tests/test_tiles.py.
 """
 
     abp_path = os.path.join(REPO, "BENCH", "AB_PRUNE.json")

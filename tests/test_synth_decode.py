@@ -148,3 +148,53 @@ def test_jvm_wkb_decoder_on_synth(spark):
         (F.col("a.lon") != F.col("b.lon")) | (F.col("a.lat") != F.col("b.lat"))
     )
     assert bad.count() == 0
+
+
+def test_compact_mode_small_ways_full_coverage(spark):
+    """compact=True must yield realistically SMALL ways (metres-to-km,
+    not the default mode's region-spanning zigzags) while still
+    covering the whole synth region at any scale factor (the
+    block-cyclic Z-curve mapping; a naive curve_index=id packs all ids
+    into one corner and corpus geography becomes a function of N)."""
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.sources.synth import LAT_RANGE, LON_RANGE
+
+    docs = synth.synthesize(spark, n_nodes=20000, n_ways=5000, n_rels=100,
+                            compact=True)
+    feats = assemble.assemble_features(decode.with_entity_meta(docs))
+    spans = feats.where(F.col("geom_type") != "point").select(
+        (F.array_max("xs") - F.array_min("xs")).alias("dx"),
+        (F.array_max("ys") - F.array_min("ys")).alias("dy"),
+    )
+    q = spans.agg(
+        F.expr("percentile(greatest(dx, dy), 0.95)").alias("p95"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert q["n"] > 1000
+    # 95% of ways under ~0.1 degree (vs tens of degrees in default mode;
+    # the tail is block-boundary crossings and relation multipolygons)
+    assert q["p95"] < 0.1, q["p95"]
+    # coverage: block slots are hash-scattered over the whole region
+    # regardless of N (numpy-direct — at 500k ids there are ~122
+    # blocks, enough for the span to concentrate near the full region)
+    lon, lat = synth.node_lonlat(np.arange(500_000, dtype=np.uint64),
+                                 compact=True)
+    assert lon.max() - lon.min() > 0.8 * (LON_RANGE[1] - LON_RANGE[0])
+    assert lat.max() - lat.min() > 0.8 * (LAT_RANGE[1] - LAT_RANGE[0])
+
+
+def test_compact_mode_strip_routing_dominates_straddlers(spark):
+    """On the compact corpus the 1xN/Nx1 strip class must dominate the
+    straddler population (edge-straddling is ~linear in feature size,
+    corner-straddling ~quadratic) — the regression guard for the strip
+    fast path actually firing on realistic feature scales."""
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.operators.tiles import routing_class_counts
+
+    docs = synth.synthesize(spark, n_nodes=20000, n_ways=5000, n_rels=100,
+                            compact=True)
+    feats = assemble.assemble_features(decode.with_entity_meta(docs))
+    rc = routing_class_counts(feats, 12)
+    assert rc["strip"] > 0
+    assert rc["strip"] > rc["kernel"], rc
+    assert rc["single"] > rc["strip"] + rc["kernel"], rc

@@ -423,3 +423,85 @@ def test_null_geom_type_straddler_still_assigned(spark):
         by_id.setdefault(r["osm_id"], set()).add(r["cell"])
     assert 1 in by_id, "NULL geom_type feature dropped from tile table"
     assert by_id[1] == by_id[2]  # same tiles as the identical line
+
+
+def _collect_cells(df, min_z, max_z, strip):
+    out = with_tile_cells_exact(df, min_z, max_z, strip=strip).select(
+        "osm_id", "cell"
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["osm_id"], set()).add(r["cell"])
+    return by_id
+
+
+def test_strip_routing_matches_kernel_fuzz(spark):
+    """The 1xN / Nx1 pure-Column strip fast path must produce exactly
+    the kernel's tile sets: random single-part polylines and polygon
+    rings shaped to span several tiles along ONE axis (the dominant
+    straddler class), mixed with corner-straddlers and big diagonals
+    that stay on the kernel path either way."""
+    rng = np.random.default_rng(77)
+    rows = []
+    osm_id = 0
+    for _ in range(40):
+        osm_id += 1
+        # horizontal-ish strip line: ~2-7 degrees lon, < 1 tile of lat
+        lon0 = rng.uniform(-170, 160)
+        lat0 = rng.uniform(-70, 70)
+        npts = rng.integers(2, 6)
+        xs = np.sort(rng.uniform(lon0, lon0 + rng.uniform(2, 7), npts))
+        ys = lat0 + rng.uniform(0, 0.4, npts)
+        rows.append((osm_id, "way", "line", {"a": "1"}, xs.tolist(),
+                     ys.tolist(), [0, int(npts)], [0, 1]))
+        osm_id += 1
+        # vertical-ish strip polygon ring (unclosed: kernel adds the
+        # closing segment; the strip argument is closure-independent)
+        lon0 = rng.uniform(-170, 160)
+        lat0 = rng.uniform(-70, 65)
+        h = rng.uniform(2, 5)
+        w = rng.uniform(0.05, 0.3)
+        ring_x = [lon0, lon0 + w, lon0 + w, lon0]
+        ring_y = [lat0, lat0, lat0 + h, lat0 + h]
+        rows.append((osm_id, "rel", "polygon", {"a": "1"}, ring_x, ring_y,
+                     [0, 4], [0, 1]))
+        osm_id += 1
+        # corner-straddler / diagonal (kernel path both modes)
+        lon0 = rng.uniform(-170, 160)
+        lat0 = rng.uniform(-70, 60)
+        d = rng.uniform(2, 8)
+        rows.append((osm_id, "way", "line", {"a": "1"},
+                     [lon0, lon0 + d], [lat0, lat0 + d], [0, 2], [0, 1]))
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    with_strip = _collect_cells(df, 4, 8, strip=True)
+    no_strip = _collect_cells(df, 4, 8, strip=False)
+    assert with_strip == no_strip
+
+
+def test_strip_multipart_disconnected_not_bbox_covered(spark):
+    """A MULTI-part line whose parts sit at opposite ends of a 1xN
+    bbox must keep its gap tiles: the strip fast path requires a
+    single part, so this row must route to the kernel, whose exact set
+    excludes the middle tiles the bbox cover would wrongly include."""
+    # two short segments ~5 degrees apart at the same latitude
+    xs = [10.1, 10.2, 15.3, 15.4]
+    ys = [0.21, 0.22, 0.21, 0.22]
+    rows = [(1, "way", "line", {"a": "1"}, xs, ys, [0, 2, 4], [0, 2])]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    got = _collect_cells(df, 8, 8, strip=True)[1]
+    assert got == _collect_cells(df, 8, 8, strip=False)[1]
+    # and the gap is real: strictly fewer tiles than the bbox cover
+    bbox = {r["cell"] for r in with_tile_cells(df, 8, 8).collect()}
+    assert got < bbox
+
+
+def test_strip_antimeridian_guard(spark):
+    """A Fiji-style wrapped way has a 1-row bbox spanning nearly the
+    whole world: the lon-span guard must keep it OFF the strip path so
+    it still resolves to the two short arcs, not the bbox band."""
+    rows = [(1, "way", "line", {"a": "1"}, [179.5, -179.5],
+             [10.1, 10.2], [0, 2], [0, 1])]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    got = _collect_cells(df, 6, 6, strip=True)[1]
+    assert got == _collect_cells(df, 6, 6, strip=False)[1]
+    assert len(got) <= 4  # short arcs at z6, not a world-wide band
