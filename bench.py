@@ -49,7 +49,7 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path, compact=False):
 
 
 def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
-                        strip_tiles=True, collect_routing=None,
+                        strip_tiles=False, collect_routing=None,
                         tile_zooms=(2, 8)):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
@@ -59,9 +59,10 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     mapping-aware assembly pruning (assembles EVERY way, theme filter
     only after assembly) — the --ab-prune knob; outputs are identical
     either way (parity gates in tests/test_assemble.py).
-    `strip_tiles=False` disables the 1×N/N×1 pure-Column strip fast
+    `strip_tiles=True` enables the 1×N/N×1 pure-Column strip fast
     path inside exact tile assignment — the --ab-strip knob (parity
-    gates in tests/test_tiles.py).  Pass a dict as `collect_routing`
+    gates in tests/test_tiles.py; measured slower than the kernel, so
+    OFF by default — see BENCH/AB_STRIP.json).  Pass a dict as `collect_routing`
     to have it filled with the deduped feature set's per-route row
     counts (single/strip/kernel at max zoom) — diagnostic only, adds
     one aggregation pass.
@@ -121,6 +122,36 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     finally:
         lineage.release(themed, *feats._persisted_intermediates)
     return n_features, n_tiles
+
+
+def osm_tile_input(spark, docs_path, prune=True):
+    """Untimed helper for stage-level tile A/Bs: the deduped feature
+    set the tile stage consumes, materialized via localCheckpoint so
+    repeated tile_counts timings don't re-run the upstream pipeline.
+    Caller must lineage.release() the returned frame."""
+    from osm_export_tool_python_spark import lineage
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.operators.clip import AOI, clip_features
+    from osm_export_tool_python_spark.operators.themes import prefilter, theme_fanout
+    from osm_export_tool_python_spark.sources import decode
+
+    mapping = Mapping(BENCH_MAPPING)
+    docs = spark.read.parquet(docs_path)
+    feats = assemble.assemble_features(
+        decode.with_entity_meta(docs), checkpoint=True,
+        mapping=mapping if prune else None,
+    )
+    filtered = prefilter(feats, mapping)
+    aoi = AOI([np.array([[-15.0, -8.0], [38.0, -8.0], [38.0, 52.0], [-15.0, 52.0]])])
+    clipped = clip_features(filtered, aoi)
+    themed = theme_fanout(clipped, mapping)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deduped = lineage.eager_local_checkpoint(
+        themed.repartition(nparts, "osm_id", "src").dropDuplicates(["osm_id", "src"])
+    )
+    lineage.release(*feats._persisted_intermediates)
+    return deduped
 
 
 def bench_queries(spark, sf_dir, scale):

@@ -585,7 +585,7 @@ def routing_class_counts(features: DataFrame, max_zoom: int) -> dict:
 
 
 def with_tile_cells_exact(
-    features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = True
+    features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = False
 ) -> DataFrame:
     """Add `cell` (exploded): one row per (feature, tile, zoom) with
     INTERSECTION semantics — a tile appears iff the feature's geometry
@@ -628,8 +628,19 @@ def with_tile_cells_exact(
     Measure-zero boundary contacts (a vertex exactly on a tile edge)
     may differ between the Column and kernel routes, matching the
     module contract (see the traversal-convention note above
-    `_segment_supercover`).  ``strip=False`` is the A/B knob that
-    collapses the routing back to single-tile-vs-kernel."""
+    `_segment_supercover`).
+
+    DEFAULT OFF — a measured negative result (BENCH/AB_STRIP.json):
+    on a realistic compact-ways corpus at z2-12 where strips are 80%
+    of straddlers, the stage-level paired A/B put the strip route 6%
+    SLOWER than kernel-for-everything (47.0 s vs 50.1 s best-of-3,
+    identical outputs) — the flat-numpy Arrow kernel processes a
+    straddler row cheaper than Catalyst materializes the per-row
+    nested zoom/x/y sequences, and the routing predicate taxes every
+    row.  Exactness of the strip route is independently fuzz-gated
+    (tests/test_tiles.py), so the knob remains available if a future
+    Arrow-starved deployment (Python workers contending with the JVM)
+    tips the balance the other way."""
     single, is_strip = _routing_predicates(max_zoom)
     if not strip:
         is_strip = F.lit(False)
@@ -697,12 +708,14 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
 
 def tile_counts(
     features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True,
-    strip: bool = True,
+    strip: bool = False,
 ) -> DataFrame:
     """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
     `exact=True` (default) assigns by geometry intersection; False is
-    the pure-Column bbox cover (superset).  `strip=False` disables the
-    1×N/N×1 pure-Column fast path inside exact assignment (A/B knob)."""
+    the pure-Column bbox cover (superset).  `strip=True` enables the
+    1×N/N×1 pure-Column fast path inside exact assignment — measured
+    SLOWER than the kernel on this box (see with_tile_cells_exact),
+    kept as a knob."""
     if exact:
         with_cells = with_tile_cells_exact(features, min_zoom, max_zoom, strip=strip)
     else:

@@ -334,7 +334,27 @@ def ab_strip_child(cpus: int, docs_path: str):
     # one untimed diagnostic pass: rows per route over the deduped set
     osm_pipeline_counts(spark, docs_path, collect_routing=routing,
                         tile_zooms=zooms)
+    # STAGE-LEVEL arm: materialize the tile input ONCE (localCheckpoint)
+    # and time tile assignment alone, alternating — the strip win is
+    # confined to the tile stage, and the end-to-end wall dilutes it
+    # under decode/join noise
+    from bench import osm_tile_input
+    from osm_export_tool_python_spark import lineage
+    from osm_export_tool_python_spark.operators.tiles import tile_counts
+
+    dd = osm_tile_input(spark, docs_path)
+    stage = {"strip": [], "nostrip": []}
+    try:
+        tile_counts(dd, zooms[0], zooms[1], strip=True).count()  # warm
+        for _ in range(3):
+            for arm, st in (("strip", True), ("nostrip", False)):
+                t0 = time.perf_counter()
+                tile_counts(dd, zooms[0], zooms[1], strip=st).count()
+                stage[arm].append(round(time.perf_counter() - t0, 3))
+    finally:
+        lineage.release(dd)
     best_s, best_n = min(walls["strip"]), min(walls["nostrip"])
+    st_s, st_n = min(stage["strip"]), min(stage["nostrip"])
     print(
         "AB_RESULT " + json.dumps(
             {
@@ -347,6 +367,10 @@ def ab_strip_child(cpus: int, docs_path: str):
                 "strip_sec": best_s,
                 "nostrip_sec": best_n,
                 "nostrip_over_strip": round(best_n / best_s, 3),
+                "stage_walls": stage,
+                "stage_strip_sec": st_s,
+                "stage_nostrip_sec": st_n,
+                "stage_nostrip_over_strip": round(st_n / st_s, 3),
                 "counts": counts,
                 "routing_rows": routing,
                 "vm_probe": probe,
@@ -967,27 +991,41 @@ premium.
             else ""
         )
         report += f"""
-## Strip-routing A/B (1×N/N×1 pure-Column fast path)
+## Strip-routing A/B (1×N/N×1 pure-Column fast path) — measured, REJECTED as default
 
-{ab2["protocol"]} on the {n_docs:,}-doc scaling input:
-strip **{ab2["strip_sec"]} s** vs kernel-only **{ab2["nostrip_sec"]} s** →
-nostrip/strip = **{ab2["nostrip_over_strip"]}×** (walls: strip
-{ab2["walls"]["strip"]}, nostrip {ab2["walls"]["nostrip"]}; in-child
-pinned probe sha_1t {ab2["vm_probe"]["sha_1t_sec"]} s; identical
-outputs asserted in-run: {ab2["counts"]["strip"]["features"]:,}
-features / {ab2["counts"]["strip"]["tiles"]:,} tiles both arms).
-A single CONNECTED part whose bbox cover at max zoom is one tile row
-or column has an exact tile set EQUAL to its bbox cover (proof in
-operators/tiles.with_tile_cells_exact), so those rows stay pure
-Column; straddling one tile edge is ~linear in feature size while
-straddling a corner is ~quadratic, so strips dominate the straddler
-population.  Deduped feature rows per route:
-single {rr.get("single", 0):,} / strip {rr.get("strip", 0):,} /
-kernel {rr.get("kernel", 0):,}{share} routed out of the Arrow kernel.
-Exactness is fuzz-gated (strip vs kernel parity on random strip
-lines/rings) plus disconnected-multipart and antimeridian guard gates
-in tests/test_tiles.py.
+Hypothesis: a single CONNECTED part whose bbox cover at max zoom is
+one tile row/column has an exact tile set EQUAL to its bbox cover
+(proof in operators/tiles.with_tile_cells_exact), and edge-straddling
+is ~linear in feature size while corner-straddling is ~quadratic — so
+routing strips to pure Column should shrink the Arrow kernel's input
+to a sliver.  The routing share confirmed the population claim
+(deduped rows: single {rr.get("single", 0):,} / strip
+{rr.get("strip", 0):,} / kernel {rr.get("kernel", 0):,}{share} are
+strips), but the WALL went the other way:
+{ab2["protocol"]}, {n_docs:,} docs — TILE STAGE alone (deduped
+features localCheckpointed once, assignment + count timed,
+alternating, best-of-3): strip **{ab2.get("stage_strip_sec", "?")} s**
+vs kernel-for-everything **{ab2.get("stage_nostrip_sec", "?")} s**
+(kernel faster in every pair; stage walls strip
+{ab2.get("stage_walls", {}).get("strip")}, nostrip
+{ab2.get("stage_walls", {}).get("nostrip")}); end-to-end a wash
+({ab2["strip_sec"]} s vs {ab2["nostrip_sec"]} s; identical outputs
+asserted in-run: {ab2["counts"]["strip"]["features"]:,} features /
+{ab2["counts"]["strip"]["tiles"]:,} tiles both arms; in-child pinned
+probe sha_1t {ab2["vm_probe"]["sha_1t_sec"]} s).  The flat-numpy
+Arrow kernel processes a straddler row cheaper than Catalyst
+materializes per-row nested zoom/x/y sequences, and the routing
+predicate taxes every row.  So `strip` defaults OFF; the route stays
+available (exactness independently fuzz-gated in tests/test_tiles.py)
+for Arrow-starved deployments where Python workers contend with the
+JVM.  Measured on the COMPACT-ways corpus (`prepare_osm_input(...,
+compact=True)`, block-cyclic Z-curve node placement): the DEFAULT
+synth corpus cannot probe this at all — its ways reference
+consecutive node ids with independent hash-draw positions, so every
+multi-node way is a region-spanning zigzag (~25×38-tile straddlers,
+zero strips), while real OSM ways are metres-to-km.
 """
+
 
     abp_path = os.path.join(REPO, "BENCH", "AB_PRUNE.json")
     if os.path.exists(abp_path):
