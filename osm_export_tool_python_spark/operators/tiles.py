@@ -539,6 +539,20 @@ def exact_cells_udf(min_zoom: int, max_zoom: int):
 STRIP_MAX_TILES = 8
 
 
+def _single_cells_expr(min_zoom: int, max_zoom: int):
+    """array<long> of the one tile per zoom for a SINGLE-TILE feature
+    (bbox fits in one tile at max_zoom, hence at every coarser zoom):
+    pure Column `transform` over the zoom range, no Python."""
+    return F.transform(
+        F.sequence(F.lit(min_zoom), F.lit(max_zoom)),
+        lambda z: cell_col(
+            z,
+            tile_x_col(F.array_min("xs"), z),
+            tile_y_col(F.array_min("ys"), z),
+        ),
+    )
+
+
 def _routing_predicates(max_zoom: int):
     """(single, is_strip) routing Columns for exact tile assignment —
     shared by `with_tile_cells_exact` and `routing_class_counts`."""
@@ -585,7 +599,8 @@ def routing_class_counts(features: DataFrame, max_zoom: int) -> dict:
 
 
 def with_tile_cells_exact(
-    features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = False
+    features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = False,
+    split: bool = False,
 ) -> DataFrame:
     """Add `cell` (exploded): one row per (feature, tile, zoom) with
     INTERSECTION semantics — a tile appears iff the feature's geometry
@@ -630,7 +645,7 @@ def with_tile_cells_exact(
     module contract (see the traversal-convention note above
     `_segment_supercover`).
 
-    DEFAULT OFF — a measured negative result (BENCH/AB_STRIP.json):
+    strip DEFAULT OFF — a measured negative result (BENCH/AB_STRIP.json):
     on a realistic compact-ways corpus at z2-12 where strips are 80%
     of straddlers, the stage-level paired A/B put the strip route 6%
     SLOWER than kernel-for-everything (47.0 s vs 50.1 s best-of-3,
@@ -640,11 +655,70 @@ def with_tile_cells_exact(
     row.  Exactness of the strip route is independently fuzz-gated
     (tests/test_tiles.py), so the knob remains available if a future
     Arrow-starved deployment (Python workers contending with the JVM)
-    tips the balance the other way."""
+    tips the balance the other way.
+
+    `split=True` — UNION shape: instead of one scan whose single
+    ArrowEvalPython node sees EVERY row (Column-routed rows as NULLs),
+    the frame is filtered into the single-tile branch (pure Column,
+    no Python at all) and the kernel branch (UDF over the straddler
+    subset ONLY), then unioned.  The Arrow boundary — worker batch
+    framing, pandas Series construction, result alignment — is paid
+    per ROW REACHING THE NODE even when the payload is NULL, so at
+    OSM-like size distributions (straddlers a few % of features) the
+    union shape shrinks the Python-touching row count ~30×.  Cost:
+    the input is scanned twice; the tile stage consumes a
+    checkpointed/shuffle-output frame in every pipeline here, so the
+    second scan re-reads cached blocks or shuffle files, not the
+    source.  Rows whose routing predicate is NULL (degenerate empty
+    geometry) go to the kernel branch, exactly as the CASE shape's
+    `when` fall-through routes them."""
     single, is_strip = _routing_predicates(max_zoom)
     if not strip:
         is_strip = F.lit(False)
     routed = single | is_strip
+
+    if split:
+        kernel_direct = exact_cells_udf(min_zoom, max_zoom)(
+            F.col("geom_type"), F.col("xs"), F.col("ys"), F.col("ring_offsets")
+        )
+        # Singles branch: explode the zoom FIRST, then build the cell
+        # as a TOP-LEVEL projection — inside whole-stage codegen with
+        # common-subexpression elimination.  The array-building
+        # `transform` lambda the CASE shape uses is evaluated by the
+        # INTERPRETED expression path (higher-order functions don't
+        # codegen), where `_spread_bits_col`'s per-step subtree
+        # duplication makes every cell a multi-thousand-node tree
+        # including the mercator trig — measured 48.2 s for this
+        # branch alone vs 1.8 s for the Arrow kernel over ALL
+        # straddlers (BENCH/AB_SHAPE.json attribution).  Tile x/y are
+        # computed ONCE at max_zoom (the only trig) and every coarser
+        # zoom is derived by bit-shift — exact, because the tile grid
+        # nests by halving and the fractional position is scaled by
+        # exact powers of two: floor(frac·2^z) == floor(frac·2^zmax) >>
+        # (zmax − z), clamps included.
+        sgl = (
+            features.where(single)
+            .withColumn("__xm", tile_x_col(F.array_min("xs"), F.lit(max_zoom)))
+            .withColumn("__ym", tile_y_col(F.array_min("ys"), F.lit(max_zoom)))
+            .withColumn(
+                "__z", F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom)))
+            )
+            .withColumn(
+                "cell",
+                cell_col(
+                    F.col("__z"),
+                    F.expr("shiftrightunsigned(__xm, %d - __z)" % max_zoom),
+                    F.expr("shiftrightunsigned(__ym, %d - __z)" % max_zoom),
+                ),
+            )
+            .drop("__xm", "__ym", "__z")
+        )
+        # NOT-TRUE (not ~single): a NULL predicate row must reach
+        # the kernel, matching the CASE shape's fall-through
+        kern = features.where(~F.coalesce(single, F.lit(False))).withColumn(
+            "cell", F.explode(kernel_direct)
+        )
+        return sgl.unionByName(kern)
 
     narr = F.lit(None).cast("array<double>")
     kernel_cells = exact_cells_udf(min_zoom, max_zoom)(
@@ -655,14 +729,7 @@ def with_tile_cells_exact(
             F.col("ring_offsets")
         ),
     )
-    single_cells = F.transform(
-        F.sequence(F.lit(min_zoom), F.lit(max_zoom)),
-        lambda z: cell_col(
-            z,
-            tile_x_col(F.array_min("xs"), z),
-            tile_y_col(F.array_min("ys"), z),
-        ),
-    )
+    single_cells = _single_cells_expr(min_zoom, max_zoom)
     # the strip's bbox cover, every zoom in one flat array; one of the
     # two per-zoom sequences always has length 1 (strip invariant), so
     # this materializes exactly the strip cells
@@ -708,16 +775,19 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
 
 def tile_counts(
     features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True,
-    strip: bool = False,
+    strip: bool = False, split: bool = False,
 ) -> DataFrame:
     """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
     `exact=True` (default) assigns by geometry intersection; False is
     the pure-Column bbox cover (superset).  `strip=True` enables the
     1×N/N×1 pure-Column fast path inside exact assignment — measured
     SLOWER than the kernel on this box (see with_tile_cells_exact),
-    kept as a knob."""
+    kept as a knob.  `split=True` uses the union shape (Arrow kernel
+    over the straddler subset only — see with_tile_cells_exact)."""
     if exact:
-        with_cells = with_tile_cells_exact(features, min_zoom, max_zoom, strip=strip)
+        with_cells = with_tile_cells_exact(
+            features, min_zoom, max_zoom, strip=strip, split=split
+        )
     else:
         with_cells = with_tile_cells(features, min_zoom, max_zoom)
     counts = with_cells.groupBy("cell").agg(F.count("*").alias("n_features"))
@@ -752,7 +822,7 @@ def decode_cell_cols(cell_col="cell"):
 
 def tile_features(
     features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16,
-    exact: bool = True, max_ids_per_tile: int = 1024,
+    exact: bool = True, max_ids_per_tile: int = 1024, split: bool = False,
 ) -> DataFrame:
     """(z, x, y, n_features, osm_ids, n_overflow) — the packed tile
     table.  `n_features` is the EXACT per-tile feature count;
@@ -790,8 +860,13 @@ def tile_features(
     from pyspark.sql import Window
 
     cap = int(max_ids_per_tile)
-    assigner = with_tile_cells_exact if exact else with_tile_cells
-    with_cells = assigner(features, min_zoom, max_zoom).select("cell", "osm_id")
+    if exact:
+        with_cells = with_tile_cells_exact(
+            features, min_zoom, max_zoom, split=split
+        )
+    else:
+        with_cells = with_tile_cells(features, min_zoom, max_zoom)
+    with_cells = with_cells.select("cell", "osm_id")
     salted = with_cells.withColumn(
         "__salt", F.pmod(F.hash("osm_id"), F.lit(salt))
     )

@@ -380,6 +380,106 @@ def ab_strip_child(cpus: int, docs_path: str):
     spark.stop()
 
 
+def ab_shape(reuse: bool = False):
+    """Plan-shape A/B for exact tile assignment on the COMPACT-ways
+    corpus, tile stage z2-12, stage-level (input materialized once):
+
+      case  — one scan, one ArrowEvalPython that sees EVERY row
+              (Column-routed rows arrive as NULLs);
+      union — two scans of the checkpointed input, the Arrow node fed
+              ONLY the filtered straddler subset (~3% of rows here);
+      bbox  — pure-Column bbox cover (different, superset output —
+              the lower bound on tile-stage cost, for premium
+              attribution only).
+
+    The hypothesis under test: the exact-over-bbox premium measured in
+    AB_TILES.json is mostly the fixed per-row Arrow boundary cost
+    (batch framing, pandas Series construction, result alignment for
+    millions of NULL rows), not straddler math — in which case the
+    union shape reclaims most of it.  Writes BENCH/AB_SHAPE.json."""
+    if not reuse or not os.path.exists(COMPACT_DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-shape-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, COMPACT_DOCS_PATH,
+                          compact=True)
+        spark.stop()
+    cpus = 32
+    out = subprocess.run(
+        ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+         os.path.abspath(__file__), "--ab-shape-child", str(cpus),
+         COMPACT_DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AB_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("ab-shape child failed")
+    rec = json.loads(line[-1][len("AB_RESULT "):])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_SHAPE.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+def ab_shape_child(cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, osm_tile_input, prepare_osm_input, vm_probe
+    from osm_export_tool_python_spark import lineage
+    from osm_export_tool_python_spark.operators.tiles import tile_counts
+
+    spark = _session("jvm", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup")
+    probe = vm_probe(cpus)
+
+    zooms = (2, 12)
+    arms = {
+        "case": dict(exact=True, split=False),
+        "union": dict(exact=True, split=True),
+        "bbox": dict(exact=False),
+    }
+    dd = osm_tile_input(spark, docs_path)
+    stage = {k: [] for k in arms}
+    counts = {}
+    try:
+        for k, kw in arms.items():  # one untimed warm pass per arm
+            counts[k] = tile_counts(dd, zooms[0], zooms[1], **kw).count()
+        assert counts["case"] == counts["union"], counts
+        for _ in range(3):
+            for k, kw in arms.items():
+                t0 = time.perf_counter()
+                tile_counts(dd, zooms[0], zooms[1], **kw).count()
+                stage[k].append(round(time.perf_counter() - t0, 3))
+    finally:
+        lineage.release(dd)
+    best = {k: min(v) for k, v in stage.items()}
+    print(
+        "AB_RESULT " + json.dumps(
+            {
+                "protocol": "pinned local[%d], one session, stage-level "
+                            "(tile input localCheckpointed once), alternating "
+                            "(case, union, bbox) x3, best-of-3 per arm, "
+                            "COMPACT-ways corpus, z2-12" % cpus,
+                "docs_path": docs_path,
+                "cpus": cpus,
+                "stage_walls": stage,
+                "best": best,
+                "union_over_case": round(best["union"] / best["case"], 3),
+                "case_over_bbox": round(best["case"] / best["bbox"], 3),
+                "union_over_bbox": round(best["union"] / best["bbox"], 3),
+                "tile_rows": counts,
+                "vm_probe": probe,
+            }
+        )
+    )
+    spark.stop()
+
+
 # --multijvm: weak-scaling across PROCESS boundaries (the judge's open
 # question on the 8->32 single-JVM ceiling).  A real cluster going
 # N -> 4N executors multiplies JVM heaps and GC along with cores; a
@@ -663,6 +763,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--multijvm-child":
         multijvm_child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
                        int(sys.argv[5]), int(sys.argv[6]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-shape":
+        ab_shape(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-shape-child":
+        ab_shape_child(int(sys.argv[2]), sys.argv[3])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-strip":
         ab_strip(reuse="--reuse" in sys.argv)

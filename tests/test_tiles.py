@@ -505,3 +505,70 @@ def test_strip_antimeridian_guard(spark):
     got = _collect_cells(df, 6, 6, strip=True)[1]
     assert got == _collect_cells(df, 6, 6, strip=False)[1]
     assert len(got) <= 4  # short arcs at z6, not a world-wide band
+
+
+def _collect_rows(df, min_z, max_z, split):
+    from collections import Counter
+
+    return Counter(
+        (r["osm_id"], r["cell"])
+        for r in with_tile_cells_exact(df, min_z, max_z, split=split)
+        .select("osm_id", "cell")
+        .collect()
+    )
+
+
+def test_union_shape_matches_case_shape_fuzz(spark):
+    """split=True (union shape: kernel UDF over the filtered straddler
+    subset only) must produce exactly the CASE shape's rows — same
+    (osm_id, cell) multiset — on a mixed corpus: points, sub-tile
+    ways, strips, diagonals, donut polygons, a NULL-geom_type
+    straddler, and an empty-geometry row."""
+    rng = np.random.default_rng(101)
+    rows = []
+    osm_id = 0
+    for _ in range(25):
+        osm_id += 1
+        rows.append(_pt(osm_id, rng.uniform(-170, 170), rng.uniform(-70, 70)))
+        osm_id += 1
+        # sub-tile way (single-tile route at z8 almost surely)
+        lon0, lat0 = rng.uniform(-170, 170), rng.uniform(-70, 70)
+        rows.append(_line(osm_id, [(lon0, lat0), (lon0 + 1e-4, lat0 + 1e-4)]))
+        osm_id += 1
+        # diagonal straddler (kernel route)
+        lon0, lat0 = rng.uniform(-170, 160), rng.uniform(-70, 60)
+        d = rng.uniform(2, 8)
+        rows.append(_line(osm_id, [(lon0, lat0), (lon0 + d, lat0 + d)]))
+        osm_id += 1
+        # polygon ring (kernel route, interior fill)
+        lon0, lat0 = rng.uniform(-170, 160), rng.uniform(-70, 60)
+        w, h = rng.uniform(1, 4), rng.uniform(1, 4)
+        rows.append(
+            (osm_id, "rel", "polygon", {"a": "1"},
+             [lon0, lon0 + w, lon0 + w, lon0],
+             [lat0, lat0, lat0 + h, lat0 + h], [0, 4], [0, 1])
+        )
+    # NULL geom_type straddler (must reach the kernel in both shapes)
+    osm_id += 1
+    rows.append((osm_id, "way", None, {"a": "1"},
+                 [-20.3, 31.7], [10.1, 44.9], [0, 2], [0, 1]))
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    assert _collect_rows(df, 4, 8, split=True) == _collect_rows(
+        df, 4, 8, split=False
+    )
+
+
+def test_union_shape_single_arrow_node_over_subset(spark):
+    """The union shape's plan: exactly one ArrowEvalPython, fed by a
+    Filter (the straddler subset) — the single-tile branch never
+    touches Python."""
+    rows = [_pt(1, 10.0, 20.0), _line(2, [(-20.3, 10.1), (31.7, 44.9)])]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 4, 6, split=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Union" in plan
+    # kernel branch input is filtered BEFORE the Arrow node
+    arrow_at = plan.index("ArrowEvalPython")
+    assert "Filter" in plan[arrow_at:], plan
