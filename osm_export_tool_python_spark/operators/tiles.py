@@ -600,14 +600,24 @@ def routing_class_counts(features: DataFrame, max_zoom: int) -> dict:
 
 def with_tile_cells_exact(
     features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = False,
-    split: bool = False,
+    split: bool = True,
 ) -> DataFrame:
     """Add `cell` (exploded): one row per (feature, tile, zoom) with
     INTERSECTION semantics — a tile appears iff the feature's geometry
     actually touches it.  Fanout is O(tiles intersected): no cap,
     nothing dropped.
 
-    SINGLE-PASS three-way routing (no union, one scan, one explode):
+    DEFAULT SHAPE is `split=True` (UNION, see below) — measured 19×
+    faster than the one-scan CASE shape and 3.3× faster than even the
+    pure-Column bbox cover on the compact-ways corpus at z2-12
+    (BENCH/AB_SHAPE.json: 2.45 s vs 47.1 s vs 8.0 s, identical
+    outputs).  `split=False` keeps the one-scan CASE shape for inputs
+    with NO reuse point upstream (no shuffle/checkpoint between an
+    expensive lineage and this call), where scanning twice would
+    recompute that lineage twice.
+
+    CASE shape (`split=False`) — single-pass three-way routing (no
+    union, one scan, one explode):
       - SINGLE-TILE features — points, and any geometry whose bbox
         fits in one tile at max_zoom (hence at every coarser zoom too,
         since tiles nest): exactly one tile per zoom, for ANY geometry
@@ -657,21 +667,27 @@ def with_tile_cells_exact(
     Arrow-starved deployment (Python workers contending with the JVM)
     tips the balance the other way.
 
-    `split=True` — UNION shape: instead of one scan whose single
-    ArrowEvalPython node sees EVERY row (Column-routed rows as NULLs),
-    the frame is filtered into the single-tile branch (pure Column,
-    no Python at all) and the kernel branch (UDF over the straddler
-    subset ONLY), then unioned.  The Arrow boundary — worker batch
-    framing, pandas Series construction, result alignment — is paid
-    per ROW REACHING THE NODE even when the payload is NULL, so at
-    OSM-like size distributions (straddlers a few % of features) the
-    union shape shrinks the Python-touching row count ~30×.  Cost:
-    the input is scanned twice; the tile stage consumes a
-    checkpointed/shuffle-output frame in every pipeline here, so the
-    second scan re-reads cached blocks or shuffle files, not the
-    source.  Rows whose routing predicate is NULL (degenerate empty
-    geometry) go to the kernel branch, exactly as the CASE shape's
-    `when` fall-through routes them."""
+    `split=True` (DEFAULT) — UNION shape: instead of one scan whose
+    single ArrowEvalPython node sees EVERY row (Column-routed rows as
+    NULLs), the frame is filtered into the single-tile branch (pure
+    Column, no Python at all) and the kernel branch (UDF over the
+    straddler subset ONLY), then unioned.  Two effects stack: (a) the
+    Arrow boundary — worker batch framing, pandas Series construction,
+    result alignment — is paid per ROW REACHING THE NODE even when the
+    payload is NULL, and the union shape shrinks that row count ~30×
+    at OSM-like size distributions; (b) far bigger, the CASE shape's
+    single-tile cells are built by a higher-order `transform` lambda,
+    which Catalyst evaluates on the INTERPRETED expression path
+    (higher-order functions don't codegen) — measured 48.2 s for that
+    branch alone, vs the union shape's codegen'd explode-then-project
+    (trig once at max_zoom, coarser zooms by bit shift).  Cost: the
+    input is scanned twice — but every pipeline here feeds this from a
+    shuffle/checkpoint output, so Spark's ReuseExchange serves the
+    second branch from the same shuffle files and nothing upstream
+    recomputes; pass split=False if you must call it on a raw
+    un-exchanged expensive lineage.  Rows whose routing predicate is
+    NULL (degenerate empty geometry) go to the kernel branch, exactly
+    as the CASE shape's `when` fall-through routes them."""
     single, is_strip = _routing_predicates(max_zoom)
     if not strip:
         is_strip = F.lit(False)
@@ -775,15 +791,17 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
 
 def tile_counts(
     features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True,
-    strip: bool = False, split: bool = False,
+    strip: bool = False, split: bool = True,
 ) -> DataFrame:
     """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
     `exact=True` (default) assigns by geometry intersection; False is
     the pure-Column bbox cover (superset).  `strip=True` enables the
     1×N/N×1 pure-Column fast path inside exact assignment — measured
     SLOWER than the kernel on this box (see with_tile_cells_exact),
-    kept as a knob.  `split=True` uses the union shape (Arrow kernel
-    over the straddler subset only — see with_tile_cells_exact)."""
+    kept as a knob.  `split=True` (default) uses the union shape
+    (Arrow kernel over the straddler subset only, singles codegen'd —
+    19× over the CASE shape, see with_tile_cells_exact); pass False
+    when the input has no shuffle/checkpoint reuse point upstream."""
     if exact:
         with_cells = with_tile_cells_exact(
             features, min_zoom, max_zoom, strip=strip, split=split
@@ -822,7 +840,7 @@ def decode_cell_cols(cell_col="cell"):
 
 def tile_features(
     features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16,
-    exact: bool = True, max_ids_per_tile: int = 1024, split: bool = False,
+    exact: bool = True, max_ids_per_tile: int = 1024, split: bool = True,
 ) -> DataFrame:
     """(z, x, y, n_features, osm_ids, n_overflow) — the packed tile
     table.  `n_features` is the EXACT per-tile feature count;

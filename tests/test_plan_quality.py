@@ -176,11 +176,12 @@ def test_relation_assembly_single_python_stage(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_exact_tile_assignment_single_pass(spark):
-    """with_tile_cells_exact is ONE pass over the feature frame: no
-    Union (the thin/fat routing is a lazy CASE expression, not a
-    two-branch scan), exactly one Arrow Python stage (the supercover
-    kernel, fed NULLs for thin rows), and no row-at-a-time Python."""
+def test_exact_tile_assignment_default_union_shape(spark):
+    """The DEFAULT exact assignment is the union shape: the Arrow
+    kernel sits behind a Filter so it sees only the straddler subset,
+    the single-tile branch is pure codegen'd Column work (no Python),
+    and there is no row-at-a-time Python anywhere.  Measured 19× over
+    the one-scan CASE shape (BENCH/AB_SHAPE.json)."""
     from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
     from osm_export_tool_python_spark.operators.tiles import with_tile_cells_exact
 
@@ -190,6 +191,27 @@ def test_exact_tile_assignment_single_pass(spark):
     ]
     df = spark.createDataFrame(rows, FEATURE_SCHEMA)
     out = with_tile_cells_exact(df, 4, 6)
+    plan = _plan(out)
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized only
+    assert plan.count("ArrowEvalPython") == 1
+    # the kernel branch is filtered BEFORE the Arrow node
+    assert "Filter" in plan[plan.index("ArrowEvalPython"):]
+
+
+def test_exact_tile_assignment_case_shape_single_pass(spark):
+    """split=False keeps the one-scan CASE shape (for inputs with no
+    reuse point upstream): no Union, exactly one Arrow Python stage
+    fed NULLs for thin rows, no row-at-a-time Python."""
+    from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
+    from osm_export_tool_python_spark.operators.tiles import with_tile_cells_exact
+
+    rows = [
+        (1, "node", "point", {"a": "1"}, [13.4], [52.5], [0, 1], [0, 1]),
+        (2, "way", "line", {"a": "1"}, [-20.3, 31.7], [10.1, 44.9], [0, 2], [0, 1]),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 4, 6, split=False)
     plan = _plan(out)
     assert "Union" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-vectorized only
