@@ -1133,6 +1133,49 @@ zero strips), while real OSM ways are metres-to-km.
 """
 
 
+    absh_path = os.path.join(REPO, "BENCH", "AB_SHAPE.json")
+    if os.path.exists(absh_path):
+        ab3 = json.load(open(absh_path))
+        report += f"""
+## Plan-shape A/B: CASE vs UNION exact assignment — UNION adopted as default
+
+The strip rejection above left a question open: if routing strips
+Column-side didn't pay, where does the exact stage's cost actually
+live?  `--ab-shape` (BENCH/AB_SHAPE.json) answers it with three arms:
+{ab3["protocol"]}:
+
+| arm | shape | best wall | tile rows |
+|---|---|---|---|
+| case | one scan, one ArrowEvalPython seeing EVERY row (Column-routed rows as NULLs), singles built by higher-order `transform` | {ab3["best"]["case"]} s | {ab3["tile_rows"]["case"]:,} |
+| union | singles filtered into a codegen'd explode-then-project branch (trig once at zmax, coarser zooms by bit shift); Arrow kernel over the filtered straddler subset ONLY | **{ab3["best"]["union"]} s** | {ab3["tile_rows"]["union"]:,} |
+| bbox | pure-Column bbox cover (superset output — lower-bound reference only) | {ab3["best"]["bbox"]} s | {ab3["tile_rows"]["bbox"]:,} |
+
+union/case = **{ab3["union_over_case"]}** ({round(1/ab3["union_over_case"], 1)}×), union/bbox =
+**{ab3["union_over_bbox"]}** — the exact union shape is
+{round(1/ab3["union_over_bbox"], 1)}× faster than even the approximate
+bbox cover.  The attribution: the CASE shape's cost was never the
+straddler math or the Arrow boundary alone — it was the higher-order
+`transform` lambda building per-zoom cells for the ~97% single-tile
+rows, which Catalyst evaluates on the INTERPRETED expression path
+(higher-order functions don't codegen), with `_spread_bits_col`'s
+per-step subtree duplication making every cell a multi-thousand-node
+tree including the mercator trig.  The bbox cover pays the same
+interpreted tax, which is why exact-union beats it.  (in-child pinned
+probe sha_1t {ab3["vm_probe"]["sha_1t_sec"]} s.)
+
+**Consequence: `split=True` (union) is the DEFAULT** in
+`with_tile_cells_exact` / `tile_counts` / `tile_features`.  The union
+scans its input twice, but every pipeline here feeds the tile stage
+from a shuffle or checkpoint output, so ReuseExchange serves the
+second branch from the same shuffle files (`split=False` remains for
+raw un-exchanged expensive lineages).  Identical outputs are
+in-run-asserted (equal tile rows above) and fuzz-gated
+(tests/test_tiles.py: same (osm_id, cell) multiset on a mixed corpus
+including NULL-geom_type and degenerate rows).  This RETIRES the
+exact-over-bbox premium as a cost trade: with the union shape,
+intersection-exact membership is cheaper than the bbox fallback.
+"""
+
     abp_path = os.path.join(REPO, "BENCH", "AB_PRUNE.json")
     if os.path.exists(abp_path):
         abp = json.load(open(abp_path))
