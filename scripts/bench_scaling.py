@@ -1058,6 +1058,18 @@ the unsalted contents (verified in tests/test_tiles.py).
     ab_path = os.path.join(REPO, "BENCH", "AB_TILES.json")
     if os.path.exists(ab_path):
         ab = json.load(open(ab_path))
+        ratio = ab["exact_over_bbox"]
+        verdict_line = (
+            "exact assignment now COSTS LESS THAN the approximate bbox "
+            "cover — the union plan shape (next section) turned "
+            "intersection-exactness from a measured premium into a win, "
+            "so the bbox fallback no longer has a performance rationale."
+            if ratio <= 1.0
+            else "the ratio is the exact kernel's genuine cost over the "
+            "pure-Column bbox cover, the number that separates "
+            "algorithmic cost from VM drift in cross-round wall "
+            "comparisons (VERDICT r4 #2)."
+        )
         report += f"""
 ## Exact-vs-bbox tile assignment A/B at stretch scale
 
@@ -1066,24 +1078,16 @@ exact **{ab["exact_sec"]} s** vs bbox **{ab["bbox_sec"]} s** →
 exact/bbox = **{ab["exact_over_bbox"]}×** (walls: exact {ab["walls"]["exact"]},
 bbox {ab["walls"]["bbox"]}; in-child pinned probe
 sha_1t {ab["vm_probe"]["sha_1t_sec"]} s).  Both arms share one session
-and alternate, so VM drift moves them together — the ratio is the
-exact kernel's genuine cost over the pure-Column bbox cover, the
-number that separates algorithmic cost from VM drift in cross-round
-wall comparisons (VERDICT r4 #2).
+and alternate, so VM drift moves them together — {verdict_line}
 
-Applying it to the open r3→r4 question (stretch local[8] wall 534.9 s
-→ 1,018.8 s at identical 5,930,068-feature output, a 1.90× jump that
-confounded the exact-kernel swap with VM drift): the r4-era exact
-kernel's measured share was **1.407×** (paired A/B, exact 969.6 s vs
-bbox 689.2 s — the historical constant for that round's code), leaving
-{round(1018.76 / 534.9 / 1.407, 3)}× attributable to VM condition —
-inside the documented ~1.6× drift envelope.  The r3→r4 doubling is
-therefore explained: ~40% real algorithmic cost (buying
-intersection-exact tile membership, no silent drops), the rest
-machine drift.  The A/B figures above are re-measured each round with
-the then-current kernel — round 5's traverse-once/shift-derive
-rewrite (operators/tiles.exact_cells_batch) attacks exactly this
-premium.
+History of this number: the r4-era exact kernel's measured premium was
+**1.407×** (paired A/B, exact 969.6 s vs bbox 689.2 s), which explained
+the open r3→r4 stretch-wall doubling (534.9 s → 1,018.8 s at identical
+5,930,068-feature output) as ~40% real algorithmic cost of buying
+intersection-exact membership ({round(1018.76 / 534.9 / 1.407, 3)}×
+residual attributable to VM condition, inside the documented ~1.6×
+drift envelope).  The figure above is re-measured each round with the
+then-current kernel.
 """
 
     abs_path = os.path.join(REPO, "BENCH", "AB_STRIP.json")
