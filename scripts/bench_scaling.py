@@ -761,6 +761,92 @@ def stretch(reuse: bool = False):
 
 PAIR_ROUNDS = 2
 
+AB_HEAP_SIZES = (24, 48, 96)  # GiB, fixed 8 pinned cores
+
+
+def ab_heap(reuse: bool = False):
+    """Heap-size A/B at FIXED cores: pinned local[8] children differing
+    only in -Xmx (via SPARK_OSM_DRIVER_MEM), same input, interleaved
+    ABC/CBA order so linear VM drift cancels per arm.
+
+    Motivation: switching the paired 2/8 protocol from constant-24g
+    total heap to per-core-constant 12g/core (jvm8: 24g -> 96g) made
+    the jvm8 arm 1.4-1.75x SLOWER despite 4x the memory
+    (BENCH/PAIRED.json vs PAIRED_constheap24g.json), while the jvm2 arm
+    (spec unchanged) reproduced its walls.  If heap size alone moves a
+    fixed-core wall, it is a single-box confound of ANY local[N]
+    heap-sizing rule — one big ParallelGC heap cycles an eden up to
+    heap/3 through ~8 GB/s of virtualized memory bandwidth, which N
+    separate per-executor heaps on a real cluster never do.  This A/B
+    measures that effect in isolation.  Writes BENCH/AB_HEAP.json.
+    """
+    if not reuse or not os.path.exists(DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-heap-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, DOCS_PATH)
+        spark.stop()
+
+    cpus = 8
+
+    def run_arm(heap_gb):
+        env = dict(os.environ, SPARK_OSM_DRIVER_MEM="%dg" % heap_gb)
+        out = subprocess.run(
+            ["taskset", "-c", "0-%d" % (cpus - 1), sys.executable,
+             os.path.abspath(__file__), "--child", "jvm", str(cpus),
+             DOCS_PATH, "1"],
+            capture_output=True, text=True, cwd=REPO, timeout=7200, env=env,
+        )
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("CHILD_RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            raise SystemExit("ab-heap child (%dg) failed" % heap_gb)
+        rec = json.loads(line[-1][len("CHILD_RESULT "):])
+        rec["heap_gb"] = heap_gb
+        return rec
+
+    orders = [list(AB_HEAP_SIZES), list(reversed(AB_HEAP_SIZES))]
+    rounds = []
+    for order in orders:
+        arms = {}
+        for heap_gb in order:
+            arms["%dg" % heap_gb] = run_arm(heap_gb)
+        base = arms["%dg" % AB_HEAP_SIZES[0]]
+        rnd = {"order": ["%dg" % h for h in order], "arms": arms}
+        for heap_gb in AB_HEAP_SIZES[1:]:
+            a = arms["%dg" % heap_gb]
+            rnd["wall_ratio_%dg_over_%dg" % (heap_gb, AB_HEAP_SIZES[0])] = (
+                round(a["sec"] / base["sec"], 3)
+            )
+            pa = (a.get("vm_probe") or {}).get("sha_1t_sec")
+            pb = (base.get("vm_probe") or {}).get("sha_1t_sec")
+            if pa and pb:
+                rnd["wall_ratio_%dg_over_%dg_probe_norm" % (
+                    heap_gb, AB_HEAP_SIZES[0])] = round(
+                        (a["sec"] / pa) / (base["sec"] / pb), 3)
+        rounds.append(rnd)
+        print("AB_HEAP_ROUND", json.dumps(rnd))
+
+    rec = {
+        "protocol": "pinned local[8] children on the same %d-doc input, "
+                    "1 timed run per child after untimed warmup, heaps "
+                    "%s GiB in ABC/CBA interleaved order (only -Xmx "
+                    "differs between arms)"
+                    % (N_NODES + N_WAYS + N_RELS,
+                       "/".join(str(h) for h in AB_HEAP_SIZES)),
+        "cpus": cpus,
+        "rounds": rounds,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_HEAP.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
 
 def paired(reuse: bool = False, rounds: int = PAIR_ROUNDS):
     """Interleaved 2-core / 8-core pinned sessions: each round runs a
@@ -868,6 +954,9 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--pair":
         paired(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-heap":
+        ab_heap(reuse="--reuse" in sys.argv)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-tiles":
         ab_tiles(reuse="--reuse" in sys.argv)
