@@ -33,12 +33,68 @@ stored partitions for the lifetime of the session.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 
 
 def eager_local_checkpoint(df: DataFrame) -> DataFrame:
     """Materialize now; return a frame whose plan is a flat RDD scan."""
     return df.localCheckpoint(eager=True)
+
+
+def eager_parquet_checkpoint(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Materialize to snappy parquet and re-read: lineage-flat AND columnar.
+
+    Same lineage-truncation benefit as ``eager_local_checkpoint`` (the
+    returned frame plans against a one-node parquet relation), but the
+    store is encoded/compressed columnar instead of raw rows, which
+    changes the scaling shape on memory-bandwidth-bound hosts:
+
+      measured at 24.2 M docs, pinned cores, 12 g heap/core
+      (BENCH/DECODE_AB.json — the decoded-entities frame, whose raw
+      row store is ~14.5 GB):
+
+        materialize           2 cores     8 cores    2→8 efficiency
+        localCheckpoint       575.7 s     278.1 s        0.52
+        parquet write         504.9 s     146.1 s        0.86
+        re-read (sum col)       1.4 s       1.0 s     column-pruned
+
+    The parquet store wins on BOTH axes — 1.9x faster to materialize at
+    8 cores and near-linear scaling — because the row store writes the
+    full decoded width through a ~0.8 GB/s parallel-membw ceiling while
+    parquet moves ~10x fewer bytes, and downstream consumers read ONLY
+    the columns they touch (the row store always deserializes whole
+    rows).  Cluster note: pointed at durable storage (pass ``path`` on
+    HDFS/S3) this is a *reliable* checkpoint — executor loss recomputes
+    nothing — strictly better fault tolerance than localCheckpoint's
+    job-fatal executor affinity.
+
+    ``release`` deletes the temp directory (only when the path was
+    allocated here, never a caller-supplied one).
+    """
+    owns_path = path is None
+    if owns_path:
+        base = os.environ.get("SPARK_OSM_CKPT_DIR") or None
+        path = tempfile.mkdtemp(prefix="osm_pq_ckpt_", dir=base)
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    if owns_path:
+        out._osm_pq_ckpt_path = path
+    return out
+
+
+def eager_checkpoint(df: DataFrame, mode) -> DataFrame:
+    """Dispatch on checkpoint mode: True/'local' → localCheckpoint,
+    'parquet' → parquet write+re-read (columnar, scales better on wide
+    frames — see eager_parquet_checkpoint)."""
+    if mode is True or mode == "local":
+        return eager_local_checkpoint(df)
+    if mode == "parquet":
+        return eager_parquet_checkpoint(df)
+    raise ValueError("unknown checkpoint mode %r (use True, 'local', 'parquet')" % (mode,))
 
 
 def _unpersist_checkpoint_rdd(df: DataFrame) -> bool:
@@ -61,7 +117,8 @@ def _unpersist_checkpoint_rdd(df: DataFrame) -> bool:
 
 
 def release(*dfs: DataFrame) -> None:
-    """Free persisted or locally-checkpointed frames, ignoring failures."""
+    """Free persisted, locally-checkpointed, or parquet-checkpointed
+    frames, ignoring failures."""
     for df in dfs:
         if df is None:
             continue
@@ -70,3 +127,6 @@ def release(*dfs: DataFrame) -> None:
         except Exception:
             pass
         _unpersist_checkpoint_rdd(df)
+        pq_path = getattr(df, "_osm_pq_ckpt_path", None)
+        if pq_path:
+            shutil.rmtree(pq_path, ignore_errors=True)

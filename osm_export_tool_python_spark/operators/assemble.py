@@ -329,7 +329,7 @@ def assembly_dropout_metrics(docs_meta: DataFrame) -> dict:
 def assemble_features(
     docs_meta: DataFrame,
     persist_intermediate: bool = False,
-    checkpoint: bool = False,
+    checkpoint=False,
     mapping=None,
 ) -> DataFrame:
     """Full assembly: documents-with-meta → unified feature frame.
@@ -364,20 +364,29 @@ def assemble_features(
     relation members).  Caller owns releasing (the frame is tagged
     `_persisted_intermediates`; free with `lineage.release`).
 
-    `checkpoint=True` materializes those same intermediates via
-    `localCheckpoint` instead of `persist` — the downstream plans then
-    scan a flat LogicalRDD, which removes the per-action Catalyst
-    re-optimization of the deep decode/join tree (measured ~2x on the
-    small-batch export benchmark, see `lineage` module docstring for
-    the fault-tolerance trade-off that keeps plain persist the
-    cluster-scale default)."""
+    `checkpoint=True` (or `'local'`) materializes those same
+    intermediates via `localCheckpoint` instead of `persist` — the
+    downstream plans then scan a flat LogicalRDD, which removes the
+    per-action Catalyst re-optimization of the deep decode/join tree
+    (measured ~2x on the small-batch export benchmark, see `lineage`
+    module docstring for the fault-tolerance trade-off that keeps
+    plain persist the cluster-scale default).  `checkpoint='parquet'`
+    stores the same intermediates as snappy parquet instead of raw
+    rows — 1.9x faster to materialize and 2→8 core scaling 0.86 vs
+    0.52 on this frame (BENCH/DECODE_AB.json), column-pruned on
+    re-read."""
     from ..sources import decode
     from .. import lineage
 
     persisted = []
+    # checkpoint accepts True ('local') or the mode string 'parquet'
+    # (columnar store — scales better on wide frames, lineage.py)
+    ckpt = checkpoint if isinstance(checkpoint, str) else (
+        "local" if checkpoint else None
+    )
     entities = decode.entities_table(docs_meta)
-    if checkpoint:
-        entities = lineage.eager_local_checkpoint(entities)
+    if ckpt:
+        entities = lineage.eager_checkpoint(entities, ckpt)
         persisted.append(entities)
     elif persist_intermediate:
         # persist AND materialize eagerly: the downstream union has four
@@ -424,8 +433,8 @@ def assemble_features(
         way_refs = decode.way_refs_from_entities(entities)
 
     wcoords = way_coords(way_refs, nodes, ways)
-    if checkpoint:
-        wcoords = lineage.eager_local_checkpoint(wcoords)
+    if ckpt:
+        wcoords = lineage.eager_checkpoint(wcoords, ckpt)
         persisted.append(wcoords)
     elif persist_intermediate:
         # same race: lines / closed-way polygons / relation members all

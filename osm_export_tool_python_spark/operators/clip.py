@@ -360,7 +360,9 @@ def clip_features(
     if checkpoint:
         from .. import lineage
 
-        with_cls = lineage.eager_local_checkpoint(with_cls)
+        with_cls = lineage.eager_checkpoint(
+            with_cls, checkpoint if isinstance(checkpoint, str) else "local"
+        )
         persisted.append(with_cls)
     elif persist:
         with_cls = with_cls.persist()

@@ -97,3 +97,93 @@ def test_export_checkpoint_same_manifest_metrics(spark, tmp_path):
     k2 = {k: v for k, v in m2["metrics"].items() if not k.startswith("file")}
     assert k1 == k2
     assert k1["themed_features"] > 0
+
+
+def test_parquet_checkpoint_roundtrip_flat_plan_and_release(spark):
+    import os
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS b")
+    pq = lineage.eager_parquet_checkpoint(df)
+    path = pq._osm_pq_ckpt_path
+    assert os.path.isdir(path)
+    assert pq.count() == 1000
+    assert [r["b"] for r in pq.orderBy("id").limit(3).collect()] == [0, 2, 4]
+    analyzed = pq._jdf.queryExecution().analyzed().toString()
+    # plan is a flat parquet relation: the Range source is gone
+    assert "Range" not in analyzed and "parquet" in analyzed.lower()
+    lineage.release(pq)
+    assert not os.path.isdir(path)
+
+
+def test_parquet_checkpoint_caller_path_not_deleted(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "ckpt")
+    df = spark.range(50)
+    pq = lineage.eager_parquet_checkpoint(df, path=path)
+    assert getattr(pq, "_osm_pq_ckpt_path", None) is None
+    lineage.release(pq)
+    assert os.path.isdir(path)  # caller-supplied path is caller-owned
+
+
+def test_eager_checkpoint_dispatch(spark):
+    df = spark.range(10)
+    lc = lineage.eager_checkpoint(df, True)
+    assert "Range" not in lc._jdf.queryExecution().analyzed().toString()
+    pq = lineage.eager_checkpoint(df, "parquet")
+    assert "parquet" in pq._jdf.queryExecution().analyzed().toString().lower()
+    lineage.release(lc, pq)
+    with pytest.raises(ValueError):
+        lineage.eager_checkpoint(df, "zip")
+
+
+def test_assemble_parquet_checkpoint_matches_persist(spark):
+    from osm_export_tool_python_spark.operators import assemble
+    from osm_export_tool_python_spark.sources import decode, synth
+
+    docs = decode.with_entity_meta(
+        synth.synthesize(spark, n_nodes=400, n_ways=120, n_rels=12)
+    )
+    persisted = assemble.assemble_features(docs, persist_intermediate=True)
+    ckpt = assemble.assemble_features(docs, checkpoint="parquet")
+    cols = ["src", "osm_id", "geom_type", "xs", "ys"]
+    a = sorted(map(repr, persisted.select(*cols).collect()))
+    b = sorted(map(repr, ckpt.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    import os
+
+    paths = [
+        getattr(f, "_osm_pq_ckpt_path", None)
+        for f in ckpt._persisted_intermediates
+    ]
+    assert any(paths)  # at least one parquet-checkpointed intermediate
+    lineage.release(
+        *persisted._persisted_intermediates, *ckpt._persisted_intermediates
+    )
+    assert not any(p and os.path.isdir(p) for p in paths)
+
+
+def test_export_parquet_checkpoint_same_manifest_metrics(spark, tmp_path):
+    from osm_export_tool_python_spark.functions.mapping import Mapping
+    from osm_export_tool_python_spark.plans.export import export
+    from osm_export_tool_python_spark.sources import synth
+
+    mapping = Mapping(
+        "all_points:\n  types: [points]\n  select: [name]\n"
+        "roads:\n  types: [lines]\n  select: [highway]\n"
+        "  where: highway IS NOT NULL\n"
+    )
+    docs = synth.synthesize(spark, n_nodes=300, n_ways=80, n_rels=8)
+    m1 = export(spark, docs, mapping, str(tmp_path / "persist"), formats=("gpkg",))
+    m2 = export(
+        spark,
+        docs,
+        mapping,
+        str(tmp_path / "pq"),
+        formats=("gpkg",),
+        checkpoint="parquet",
+    )
+    k1 = {k: v for k, v in m1["metrics"].items() if not k.startswith("file")}
+    k2 = {k: v for k, v in m2["metrics"].items() if not k.startswith("file")}
+    assert k1 == k2
+    assert k1["themed_features"] > 0
