@@ -50,7 +50,7 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path, compact=False):
 
 def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
                         strip_tiles=False, collect_routing=None,
-                        tile_zooms=(2, 8)):
+                        tile_zooms=(2, 8), ckpt="local"):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
     the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
@@ -89,7 +89,7 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     docs = spark.read.parquet(docs_path)
     feats = assemble.assemble_features(
         decode.with_entity_meta(docs),
-        checkpoint=True,
+        checkpoint=ckpt,
         mapping=mapping if prune else None,
     )
     filtered = prefilter(feats, mapping)
@@ -100,7 +100,7 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     # extra write+read pass over the feature set — measured ~1 s at
     # this batch size with identical outputs
     clipped = clip_features(filtered, aoi)
-    themed = lineage.eager_local_checkpoint(theme_fanout(clipped, mapping))
+    themed = lineage.eager_checkpoint(theme_fanout(clipped, mapping), ckpt)
     try:
         n_features = themed.count()
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))

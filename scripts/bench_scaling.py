@@ -203,6 +203,81 @@ def ab_tiles_child(cpus: int, docs_path: str):
     spark.stop()
 
 
+def ab_ckpt(reuse: bool = False):
+    """localCheckpoint-vs-parquet checkpoint A/B at the primary scaling
+    scale: SAME pinned local[8] session, PAIRED alternating order
+    (local, parquet) x2 — the only difference between arms is the
+    materialization store for the pipeline's three checkpointed
+    intermediates (decoded entities, way-coords, themed), so the wall
+    delta is the store's genuine cost independent of VM drift.  The
+    phase-level decomposition (BENCH/DECODE_AB.json) showed the parquet
+    store materializing the entities frame 1.9x faster at 8 cores with
+    2->8 scaling 0.86 vs 0.52; this measures the end-to-end effect.
+    Writes BENCH/AB_CKPT.json."""
+    if not reuse or not os.path.exists(DOCS_PATH):
+        from osm_export_tool_python_spark.plans.session import default_session
+
+        spark = default_session(master="local[32]", shuffle_partitions=64,
+                                app_name="ab-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from bench import prepare_osm_input
+
+        prepare_osm_input(spark, N_NODES, N_WAYS, N_RELS, DOCS_PATH)
+        spark.stop()
+    out = subprocess.run(
+        ["taskset", "-c", "0-7", sys.executable,
+         os.path.abspath(__file__), "--ab-ckpt-child", "8", DOCS_PATH],
+        capture_output=True, text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("AB_RESULT ")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit("ab-ckpt child failed")
+    rec = json.loads(line[-1][len("AB_RESULT "):])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_CKPT.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+def ab_ckpt_child(cpus: int, docs_path: str):
+    from bench import osm_pipeline_counts, prepare_osm_input, vm_probe
+
+    spark = _session("jvm", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    prepare_osm_input(spark, 800, 200, 10, "/tmp/spark_osm_scaling_warmup")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup", ckpt="local")
+    osm_pipeline_counts(spark, "/tmp/spark_osm_scaling_warmup", ckpt="parquet")
+    probe = vm_probe(cpus)
+
+    walls = {"local": [], "parquet": []}
+    counts = {}
+    for _round in range(2):
+        for arm in ("local", "parquet"):
+            t0 = time.perf_counter()
+            nf, nt = osm_pipeline_counts(spark, docs_path, ckpt=arm)
+            walls[arm].append(round(time.perf_counter() - t0, 3))
+            counts[arm] = {"features": nf, "tiles": nt}
+    best_l, best_p = min(walls["local"]), min(walls["parquet"])
+    print(
+        "AB_RESULT " + json.dumps(
+            {
+                "protocol": "pinned local[%d], one session, paired alternating "
+                            "(local, parquet) x2, best-of-2 per arm" % cpus,
+                "docs_path": docs_path,
+                "cpus": cpus,
+                "walls": walls,
+                "local_sec": best_l,
+                "parquet_sec": best_p,
+                "parquet_over_local": round(best_p / best_l, 3),
+                "counts": counts,
+                "vm_probe": probe,
+            }
+        )
+    )
+    spark.stop()
+
+
 def ab_prune(reuse: bool = False):
     """Mapping-aware assembly pruning A/B on the scaling input
     (24.2M docs): SAME session, PAIRED alternating order
@@ -1079,6 +1154,12 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-strip-child":
         ab_strip_child(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-ckpt":
+        ab_ckpt(reuse="--reuse" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab-ckpt-child":
+        ab_ckpt_child(int(sys.argv[2]), sys.argv[3])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ab-prune":
         ab_prune(reuse="--reuse" in sys.argv)
