@@ -50,7 +50,7 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path, compact=False):
 
 def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
                         strip_tiles=False, collect_routing=None,
-                        tile_zooms=(2, 8), ckpt="local"):
+                        tile_zooms=(2, 8), ckpt="parquet"):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
     the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
@@ -67,12 +67,17 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     counts (single/strip/kernel at max zoom) — diagnostic only, adds
     one aggregation pass.
 
-    Lineage-truncation shape (`checkpoint=True` + localCheckpoint of
-    the themed frame): each materialized intermediate becomes a flat
-    LogicalRDD scan, so the count and tile actions don't re-run
-    Catalyst over the deep decode/join/union tree — measured ~2x
-    end-to-end at this batch size, with far lower variance (see
-    osm_export_tool_python_spark/lineage.py for the trade-off).  The
+    Lineage-truncation shape (`ckpt` — checkpoint of the decoded
+    entities, way-coords and themed frames): each materialized
+    intermediate becomes a flat one-node scan, so the count and tile
+    actions don't re-run Catalyst over the deep decode/join/union
+    tree — measured ~2x end-to-end at this batch size, with far lower
+    variance.  The default STORE is snappy parquet (`ckpt='parquet'`),
+    not localCheckpoint's raw rows: the row store was the pipeline's
+    worst-scaling stage (2→8 pinned-core efficiency 0.52 vs parquet's
+    0.86, memory-bandwidth-bound) and 15% slower end-to-end at 8
+    cores (BENCH/DECODE_AB.json, BENCH/AB_CKPT.json; identical
+    outputs).  `ckpt='local'` keeps the row store — the A/B knob.  The
     tile stage repartitions by feature key BEFORE dropDuplicates: the
     dedup then reuses that exchange, and the exact-tile kernel runs at
     full parallelism instead of on the 1-2 AQE-coalesced post-shuffle

@@ -1513,6 +1513,50 @@ executors, which this one-box sandbox physically cannot."""
             "on the driver." % eff_jvm_8_32
         )
 
+    abck_path = os.path.join(REPO, "BENCH", "AB_CKPT.json")
+    ab_ckpt_section = ""
+    if os.path.exists(abck_path):
+        ck = json.load(open(abck_path))
+        w = ck["walls"]
+        ab_ckpt_section = """
+### Checkpoint STORE: raw rows (localCheckpoint) vs snappy parquet
+
+The phase-level decomposition (BENCH/DECODE_AB.json, same input,
+pinned cores, 12 g/core) found the row store to be the
+worst-scaling stage of the whole pipeline: materializing the decoded
+entities frame via localCheckpoint ran 575.7 s at 2 cores / 278.1 s
+at 8 (2->8 efficiency 0.52, memory-bandwidth-bound against this VM's
+~0.9 GB/s parallel-membw ceiling), while writing the SAME frame to
+snappy parquet and re-reading it ran 504.9 s / 146.1 s (efficiency
+0.86) - columnar encoding moves ~10x fewer bytes and downstream
+consumers read only the columns they touch.
+
+End-to-end paired A/B (`--ab-ckpt`, BENCH/AB_CKPT.json): one pinned
+local[%d] session, alternating (local, parquet) x2, all three
+checkpointed intermediates (decoded entities, way-coords, themed)
+switched together, identical outputs (%s features / %s tiles):
+
+| arm | walls (s) | best |
+|---|---|---|
+| localCheckpoint | %s | %.1f |
+| parquet | %s | %.1f |
+
+parquet/local = %.3f at 8 cores - and the parquet arm's spread is
+far tighter (the row store's wall tracks the VM's drifting memory
+bandwidth; the parquet arm is CPU-shaped).  `bench.osm_pipeline_counts`
+and the scaling children now default to `ckpt='parquet'`;
+`export(checkpoint='parquet')` selects it in the library, where -
+pointed at durable storage - it is also a *reliable* checkpoint
+(executor loss recomputes nothing, unlike localCheckpoint).
+""" % (
+            ck["cpus"],
+            "{:,}".format(ck["counts"]["parquet"]["features"]),
+            "{:,}".format(ck["counts"]["parquet"]["tiles"]),
+            ", ".join("%.1f" % x for x in w["local"]), ck["local_sec"],
+            ", ".join("%.1f" % x for x in w["parquet"]), ck["parquet_sec"],
+            ck["parquet_over_local"],
+        )
+
     report = f"""# BENCH/BASELINE — scaling & skew evidence
 
 ## Workload
@@ -1599,6 +1643,7 @@ materialization removes that re-planning per action.  Plain persist
 remains the cluster-scale default because localCheckpoint trades away
 lineage-based fault recovery (see
 `osm_export_tool_python_spark/lineage.py`).
+{ab_ckpt_section}
 
 ## SECONDARY: N → 4N real executor JVMs
 
