@@ -41,12 +41,17 @@ def main(argv=None):
         "writer pass over every feature, so opt-in at scale",
     )
     parser.add_argument(
-        "--checkpoint", action="store_true",
-        help="materialize pipeline intermediates via lineage-truncating "
-        "localCheckpoint instead of persist — faster on latency-bound "
-        "batches (downstream actions plan over flat scans) but trades "
-        "away lineage-based fault recovery, so keep the default on "
-        "long-running clusters",
+        "--checkpoint", nargs="?", const="local",
+        choices=["local", "parquet"], default=None,
+        help="materialize pipeline intermediates via a lineage-truncating "
+        "checkpoint instead of persist (downstream actions plan over "
+        "flat scans).  'local' stores raw rows on the executors — "
+        "fast on latency-bound batches but trades away fault "
+        "recovery; 'parquet' stores snappy parquet — faster AND "
+        "better-scaling on wide frames (BENCH/AB_CKPT.json), and a "
+        "reliable checkpoint when SPARK_OSM_CKPT_DIR points at "
+        "durable storage.  Bare --checkpoint means 'local' "
+        "(backward compatible)",
     )
     parser.add_argument(
         "--metrics", action="store_true",

@@ -46,3 +46,26 @@ def test_cli_export_and_package(spark, docs_path, tmp_path_factory, capsys, monk
     with zipfile.ZipFile(os.path.join(out, "export.zip")) as z:
         assert "clipping_boundary.geojson" in z.namelist()
     assert os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_cli_checkpoint_flag_modes(spark, docs_path, tmp_path_factory, monkeypatch):
+    """--checkpoint is an optional-value flag: bare means 'local'
+    (backward compatible with the old store_true), --checkpoint parquet
+    selects the columnar store; both produce the same manifest counts
+    as the persist default."""
+    import json
+
+    import osm_export_tool_python_spark.plans.session as sess
+
+    monkeypatch.setattr(sess, "default_session", lambda **kw: spark)
+
+    def run(*extra):
+        out = str(tmp_path_factory.mktemp("cli_ckpt"))
+        rc = cmd.main([docs_path, out, "-f", "gpkg", "--tile-zooms", "4,5", *extra])
+        assert rc == 0
+        with open(os.path.join(out, "manifest.json")) as f:
+            return json.load(f)["metrics"]["themed_features"]
+
+    base = run()
+    assert run("--checkpoint") == base
+    assert run("--checkpoint", "parquet") == base
