@@ -50,7 +50,7 @@ def prepare_osm_input(spark, n_nodes, n_ways, n_rels, path, compact=False):
 
 def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
                         strip_tiles=False, collect_routing=None,
-                        tile_zooms=(2, 8), ckpt="parquet"):
+                        tile_zooms=(2, 8), ckpt="auto"):
     """The timed headline pipeline; returns (features, tiles) counts.
     `exact_tiles=False` swaps the intersection-exact tile kernel for
     the pure-Column bbox cover — the A/B knob scripts/bench_scaling.py
@@ -72,12 +72,15 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
     intermediate becomes a flat one-node scan, so the count and tile
     actions don't re-run Catalyst over the deep decode/join/union
     tree — measured ~2x end-to-end at this batch size, with far lower
-    variance.  The default STORE is snappy parquet (`ckpt='parquet'`),
-    not localCheckpoint's raw rows: the row store was the pipeline's
-    worst-scaling stage (2→8 pinned-core efficiency 0.52 vs parquet's
-    0.86, memory-bandwidth-bound) and 15% slower end-to-end at 8
+    variance.  The default STORE is `ckpt='auto'`: resolved ONCE from
+    the input scan's Catalyst size estimate (lineage.resolve_auto) —
+    small batches take localCheckpoint (the parquet write+re-read
+    latency, ~1 s per materialization, dominates a seconds-long run),
+    large inputs take snappy parquet, which was 15% faster end-to-end
+    at 24 M docs and scales 0.86 vs the row store's 0.52 from 2→8
     cores (BENCH/DECODE_AB.json, BENCH/AB_CKPT.json; identical
-    outputs).  `ckpt='local'` keeps the row store — the A/B knob.  The
+    outputs either way).  `ckpt='local'`/`'parquet'` pin a store — the
+    A/B knobs.  The
     tile stage repartitions by feature key BEFORE dropDuplicates: the
     dedup then reuses that exchange, and the exact-tile kernel runs at
     full parallelism instead of on the 1-2 AQE-coalesced post-shuffle
@@ -92,6 +95,7 @@ def osm_pipeline_counts(spark, docs_path, exact_tiles=True, prune=True,
 
     mapping = Mapping(BENCH_MAPPING)
     docs = spark.read.parquet(docs_path)
+    ckpt = lineage.resolve_auto(docs, ckpt)
     feats = assemble.assemble_features(
         decode.with_entity_meta(docs),
         checkpoint=ckpt,

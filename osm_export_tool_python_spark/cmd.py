@@ -42,7 +42,7 @@ def main(argv=None):
     )
     parser.add_argument(
         "--checkpoint", nargs="?", const="local",
-        choices=["local", "parquet"], default=None,
+        choices=["local", "parquet", "auto"], default=None,
         help="materialize pipeline intermediates via a lineage-truncating "
         "checkpoint instead of persist (downstream actions plan over "
         "flat scans).  'local' stores raw rows on the executors — "
@@ -50,7 +50,9 @@ def main(argv=None):
         "recovery; 'parquet' stores snappy parquet — faster AND "
         "better-scaling on wide frames (BENCH/AB_CKPT.json), and a "
         "reliable checkpoint when SPARK_OSM_CKPT_DIR points at "
-        "durable storage.  Bare --checkpoint means 'local' "
+        "durable storage; 'auto' picks the store from the input "
+        "scan's size estimate (small → local, large/unknown → "
+        "parquet).  Bare --checkpoint means 'local' "
         "(backward compatible)",
     )
     parser.add_argument(

@@ -86,15 +86,73 @@ def eager_parquet_checkpoint(df: DataFrame, path: str | None = None) -> DataFram
     return out
 
 
+# Auto store selection threshold (bytes of Catalyst's optimizer size
+# estimate).  The two stores win in different regimes, measured on the
+# same pipeline with identical outputs: parquet is 15% faster at 24 M
+# docs and scales 0.86 vs 0.52 from 2→8 cores (BENCH/AB_CKPT.json,
+# BENCH/DECODE_AB.json), but costs ~1 s of write+re-read latency per
+# materialization that localCheckpoint doesn't pay — which DOMINATES on
+# small interactive batches where the whole pipeline is seconds.  Same
+# shape of decision as Spark's own autoBroadcastJoinThreshold: pick the
+# physical strategy from the plan's size estimate.
+AUTO_PARQUET_THRESHOLD = 256 << 20
+
+# Catalyst reports defaultSizeInBytes (~Long.MaxValue) when a plan node
+# has no real statistics (LogicalRDD-backed frames).  Estimates at or
+# beyond this floor mean "unknown", not "huge".
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
+
+def resolve_auto(df: DataFrame, mode, threshold: int | None = None):
+    """Resolve checkpoint mode 'auto' → 'local' | 'parquet' from the
+    frame's Catalyst size estimate; any other mode passes through.
+
+    Small frames (est < threshold) take localCheckpoint — the per-
+    materialization parquet write+re-read latency dominates a seconds-
+    long batch.  Large or UNKNOWN-size frames take parquet — at scale
+    the columnar store is both faster and better-scaling, and unknown
+    means a stats-less plan that could be anything, so the safe-at-
+    scale store wins.  Pipelines should resolve ONCE on their input
+    scan (which has real parquet stats) and pass the concrete mode to
+    every materialization, so one run never mixes stores."""
+    if mode != "auto":
+        return mode
+    if threshold is None:
+        threshold = AUTO_PARQUET_THRESHOLD
+    est = _plan_size_bytes(df)
+    if est is None or est >= _UNKNOWN_SIZE_FLOOR:
+        return "parquet"
+    return "parquet" if est >= threshold else "local"
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Catalyst's optimizer size estimate (bytes); None if unavailable.
+    Pure plan metadata — no job runs."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
 def eager_checkpoint(df: DataFrame, mode) -> DataFrame:
     """Dispatch on checkpoint mode: True/'local' → localCheckpoint,
     'parquet' → parquet write+re-read (columnar, scales better on wide
-    frames — see eager_parquet_checkpoint)."""
+    frames — see eager_parquet_checkpoint), 'auto' → size-based choice
+    for THIS frame (see resolve_auto; pipelines with several
+    materializations should resolve once on their input scan
+    instead)."""
+    if mode == "auto":
+        mode = resolve_auto(df, mode)
     if mode is True or mode == "local":
         return eager_local_checkpoint(df)
     if mode == "parquet":
         return eager_parquet_checkpoint(df)
-    raise ValueError("unknown checkpoint mode %r (use True, 'local', 'parquet')" % (mode,))
+    raise ValueError(
+        "unknown checkpoint mode %r (use True, 'local', 'parquet', 'auto')"
+        % (mode,)
+    )
 
 
 def _unpersist_checkpoint_rdd(df: DataFrame) -> bool:

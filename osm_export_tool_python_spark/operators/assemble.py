@@ -379,11 +379,19 @@ def assemble_features(
     from .. import lineage
 
     persisted = []
-    # checkpoint accepts True ('local') or the mode string 'parquet'
-    # (columnar store — scales better on wide frames, lineage.py)
+    # checkpoint accepts True ('local'), the mode strings 'parquet' /
+    # 'auto' (columnar store — scales better on wide frames; 'auto'
+    # picks the store from the input scan's Catalyst size estimate —
+    # lineage.resolve_auto).  Resolve 'auto' HERE, on docs_meta, which
+    # still carries real parquet-scan statistics: every materialization
+    # in this run then uses the same store (a frame derived from a
+    # localCheckpoint has no stats, so per-frame resolution would
+    # silently flip later intermediates to parquet).
     ckpt = checkpoint if isinstance(checkpoint, str) else (
         "local" if checkpoint else None
     )
+    if ckpt == "auto":
+        ckpt = lineage.resolve_auto(docs_meta, ckpt)
     entities = decode.entities_table(docs_meta)
     if ckpt:
         entities = lineage.eager_checkpoint(entities, ckpt)

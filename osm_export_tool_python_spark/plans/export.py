@@ -124,12 +124,22 @@ def export(
     scaling 0.86 vs 0.52 on the wide decoded-entities frame
     (BENCH/DECODE_AB.json), column-pruned on re-read, and — pointed at
     durable storage — a *reliable* checkpoint, so it is also the right
-    lineage-truncation mode at cluster scale."""
+    lineage-truncation mode at cluster scale.
+
+    `checkpoint='auto'` picks the store from the input scan's Catalyst
+    size estimate (small batch → 'local', large or unknown →
+    'parquet'), resolved once per export so a run never mixes stores
+    — see lineage.resolve_auto."""
     manifest = ExportManifest(out_dir)
     if resume:
         manifest.load_done_entries()
 
     meta = decode.with_entity_meta(docs)
+    # resolve checkpoint='auto' ONCE on the input scan (which carries
+    # real parquet statistics) so every materialization in this export
+    # uses the same store — see lineage.resolve_auto
+    if checkpoint == "auto":
+        checkpoint = lineage.resolve_auto(meta, checkpoint)
     if dropout_metrics:
         for k, v in assemble.assembly_dropout_metrics(meta).items():
             manifest.add_metric(k, v)

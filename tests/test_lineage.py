@@ -187,3 +187,42 @@ def test_export_parquet_checkpoint_same_manifest_metrics(spark, tmp_path):
     k2 = {k: v for k, v in m2["metrics"].items() if not k.startswith("file")}
     assert k1 == k2
     assert k1["themed_features"] > 0
+
+
+def test_resolve_auto_picks_store_by_size(spark, tmp_path):
+    # a real parquet scan carries Catalyst statistics: a tiny file
+    # resolves to the low-latency row store, and shrinking the
+    # threshold to zero flips the SAME frame to parquet
+    p = str(tmp_path / "tiny")
+    spark.range(100).selectExpr("id", "id * 2 AS b").write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert lineage.resolve_auto(scan, "auto") == "local"
+    assert lineage.resolve_auto(scan, "auto", threshold=0) == "parquet"
+    # non-auto modes pass through untouched (including False)
+    for mode in (False, True, "local", "parquet"):
+        assert lineage.resolve_auto(scan, mode) is mode
+
+
+def test_resolve_auto_unknown_stats_prefers_parquet(spark, monkeypatch):
+    # when Catalyst has no real statistics (estimate unavailable or at
+    # the defaultSizeInBytes floor), 'auto' must take the safe-at-scale
+    # store rather than guessing small
+    df = spark.range(10)
+    monkeypatch.setattr(lineage, "_plan_size_bytes", lambda _df: None)
+    assert lineage.resolve_auto(df, "auto") == "parquet"
+    monkeypatch.setattr(
+        lineage, "_plan_size_bytes", lambda _df: lineage._UNKNOWN_SIZE_FLOOR
+    )
+    assert lineage.resolve_auto(df, "auto") == "parquet"
+
+
+def test_eager_checkpoint_auto_dispatch(spark, tmp_path):
+    p = str(tmp_path / "tiny")
+    spark.range(50).write.parquet(p)
+    scan = spark.read.parquet(p)
+    out = lineage.eager_checkpoint(scan, "auto")
+    # tiny scan -> row store: flat LogicalRDD plan, no parquet relation
+    plan = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "parquet" not in plan
+    assert out.count() == 50
+    lineage.release(out)
