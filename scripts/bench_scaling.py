@@ -1746,10 +1746,14 @@ switched together, identical outputs (%s features / %s tiles):
 parquet/local = %.3f at 8 cores - and the parquet arm's spread is
 far tighter (the row store's wall tracks the VM's drifting memory
 bandwidth; the parquet arm is CPU-shaped).  `bench.osm_pipeline_counts`
-and the scaling children now default to `ckpt='parquet'`;
-`export(checkpoint='parquet')` selects it in the library, where -
-pointed at durable storage - it is also a *reliable* checkpoint
-(executor loss recomputes nothing, unlike localCheckpoint).
+and the scaling children default to `ckpt='auto'` — the store is
+resolved once per run from the input scan's Catalyst size estimate
+(lineage.resolve_auto): the 24M-doc levels here take parquet, while a
+seconds-long small batch takes localCheckpoint, whose per-
+materialization latency is lower.  `export(checkpoint='parquet')`
+pins it in the library, where - pointed at durable storage - it is
+also a *reliable* checkpoint (executor loss recomputes nothing,
+unlike localCheckpoint).
 """ % (
             ck["cpus"],
             "{:,}".format(ck["counts"]["parquet"]["features"]),
