@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 
 EARTH_RADIUS_M = 6371008.8
 
+#: Auto-broadcast the TARGETS side of the cell join when the input
+#: points frame's Catalyst size estimate is below this (bytes).  A
+#: small point set shuffle-joined on cell pays two exchanges plus sort
+#: for data that fits in one broadcast; at scale the estimate exceeds
+#: the gate and the join keeps its shuffle shape (same decision shape
+#: as Spark's own autoBroadcastJoinThreshold, but on the *operator*
+#: input, which we know is scanned twice as queries and targets).
+KNN_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def haversine_col(lon1, lat1, lon2, lat2):
     """Haversine distance in meters as a pure Column expression —
@@ -87,6 +96,8 @@ def knn_join(
 ) -> DataFrame:
     """(id, neighbor_id, dist_m, rank) — k nearest neighbors per point
     among points within one cell ring at `zoom`."""
+    from ..parallel import _plan_size_bytes
+
     base = points.select(
         F.col(id_col).alias("id"), F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")
     )
@@ -94,9 +105,16 @@ def knn_join(
     queries = base.withColumn(
         "cell", F.explode(neighbor_cells_col(F.col("lon"), F.col("lat"), zoom))
     )
+    # small inputs: broadcast the un-exploded targets side — the cell
+    # equi-join then shuffles NOTHING (identical matches, join strategy
+    # only; the k=1 aggregation below still partial-aggregates map-side)
+    est = _plan_size_bytes(points)
+    t_side = targets.alias("t")
+    if est is not None and est < KNN_BROADCAST_MAX_BYTES:
+        t_side = F.broadcast(t_side)
     pairs = (
         queries.alias("q")
-        .join(targets.alias("t"), "cell")
+        .join(t_side, "cell")
         .where(F.col("q.id") != F.col("t.id"))
         .select(
             F.col("q.id").alias("id"),

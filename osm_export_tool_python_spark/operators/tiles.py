@@ -600,21 +600,29 @@ def routing_class_counts(features: DataFrame, max_zoom: int) -> dict:
 
 def with_tile_cells_exact(
     features: DataFrame, min_zoom: int, max_zoom: int, strip: bool = False,
-    split: bool = True,
+    split="fused",
 ) -> DataFrame:
     """Add `cell` (exploded): one row per (feature, tile, zoom) with
     INTERSECTION semantics — a tile appears iff the feature's geometry
     actually touches it.  Fanout is O(tiles intersected): no cap,
     nothing dropped.
 
-    DEFAULT SHAPE is `split=True` (UNION, see below) — measured 19×
-    faster than the one-scan CASE shape and 3.3× faster than even the
-    pure-Column bbox cover on the compact-ways corpus at z2-12
-    (BENCH/AB_SHAPE.json: 2.45 s vs 47.1 s vs 8.0 s, identical
-    outputs).  `split=False` keeps the one-scan CASE shape for inputs
-    with NO reuse point upstream (no shuffle/checkpoint between an
-    expensive lineage and this call), where scanning twice would
-    recompute that lineage twice.
+    DEFAULT SHAPE is `split="fused"` (r6): ONE scan, one explode, no
+    union — the kernel UDF sees NULLed inputs for single-tile rows and
+    the singles' cells are built by the codegen'd explode-then-project
+    bit-shift (see the inline comment in the fused branch).  Outputs
+    are identical to the other shapes (parity-gated in
+    tests/test_tiles.py).  `split=True` keeps the r5 UNION shape —
+    measured 19× faster than the one-scan CASE shape and 3.3× faster
+    than even the pure-Column bbox cover on the compact-ways corpus at
+    z2-12 (BENCH/AB_SHAPE.json: 2.45 s vs 47.1 s vs 8.0 s, identical
+    outputs), but it scans its input twice and the two branches' pruned
+    exchanges defeat ReuseExchange.  `split=False` keeps the one-scan
+    CASE shape for inputs with NO reuse point upstream (no
+    shuffle/checkpoint between an expensive lineage and this call),
+    where scanning twice would recompute that lineage twice — fused
+    also scans once, so the remaining reason to pick CASE is its
+    `strip=True` support.
 
     CASE shape (`split=False`) — single-pass three-way routing (no
     union, one scan, one explode):
@@ -689,9 +697,81 @@ def with_tile_cells_exact(
     NULL (degenerate empty geometry) go to the kernel branch, exactly
     as the CASE shape's `when` fall-through routes them."""
     single, is_strip = _routing_predicates(max_zoom)
+    if strip and split is not False:
+        import warnings
+
+        warnings.warn(
+            "strip=True is only honored by the CASE shape (split=False); "
+            "the fused/union shapes route strips to the kernel (same "
+            "output, measured faster — BENCH/AB_STRIP.json)",
+            stacklevel=2,
+        )
     if not strip:
         is_strip = F.lit(False)
     routed = single | is_strip
+
+    if split == "fused":
+        # FUSED shape (r6 default): ONE scan, ONE explode, no union.
+        # The union shape (split=True) reads its input twice; feeding it
+        # from the themed-export's repartition exchange, the two
+        # branches prune different column sets, so their exchanges are
+        # NOT identical and ReuseExchange cannot serve the second scan
+        # — stage-level profiling showed the exchange map side and the
+        # dedup aggregate each computed TWICE (two ~64-task map stages
+        # plus a 128-task union stage).  Here both routes share one
+        # scan: the kernel UDF sees NULLed inputs for single-tile rows
+        # (Arrow payload stays proportional to the straddler subset,
+        # the CASE-shape nulling convention), and the explode emits the
+        # zoom SEQUENCE for single-tile rows but the kernel's cell
+        # array for straddlers.  The single-tile cell is then built as
+        # a TOP-LEVEL codegen'd projection (trig once at max_zoom via
+        # __xm/__ym, coarser zooms by bit shift) — the same
+        # explode-then-project trick as the union shape's singles
+        # branch, avoiding the interpreted higher-order `transform`
+        # that made the original CASE shape 19x slower.
+        routed1 = F.coalesce(single, F.lit(False))
+        narr = F.lit(None).cast("array<double>")
+        kernel_cells = exact_cells_udf(min_zoom, max_zoom)(
+            F.when(routed1, F.lit(None).cast("string")).otherwise(F.col("geom_type")),
+            F.when(routed1, narr).otherwise(F.col("xs")),
+            F.when(routed1, narr).otherwise(F.col("ys")),
+            F.when(routed1, F.lit(None).cast("array<int>")).otherwise(
+                F.col("ring_offsets")
+            ),
+        )
+        zseq = F.sequence(F.lit(min_zoom), F.lit(max_zoom)).cast("array<long>")
+        return (
+            features.withColumn("__sgl", routed1)
+            .withColumn(
+                "__xm",
+                F.when(routed1, tile_x_col(F.array_min("xs"), F.lit(max_zoom))),
+            )
+            .withColumn(
+                "__ym",
+                F.when(routed1, tile_y_col(F.array_min("ys"), F.lit(max_zoom))),
+            )
+            .withColumn(
+                "__v", F.explode(F.when(routed1, zseq).otherwise(kernel_cells))
+            )
+            .withColumn(
+                "cell",
+                F.when(
+                    F.col("__sgl"),
+                    cell_col(
+                        F.col("__v"),
+                        F.expr(
+                            "shiftrightunsigned(__xm, cast(%d - __v as int))"
+                            % max_zoom
+                        ),
+                        F.expr(
+                            "shiftrightunsigned(__ym, cast(%d - __v as int))"
+                            % max_zoom
+                        ),
+                    ),
+                ).otherwise(F.col("__v")),
+            )
+            .drop("__sgl", "__xm", "__ym", "__v")
+        )
 
     if split:
         kernel_direct = exact_cells_udf(min_zoom, max_zoom)(
@@ -791,7 +871,7 @@ def point_tile_assignment(features: DataFrame, zoom: int) -> DataFrame:
 
 def tile_counts(
     features: DataFrame, min_zoom: int, max_zoom: int, exact: bool = True,
-    strip: bool = False, split: bool = True,
+    strip: bool = False, split="fused",
 ) -> DataFrame:
     """(z, x, y, n_features) — partial agg absorbs hot-cell skew.
     `exact=True` (default) assigns by geometry intersection; False is
@@ -840,7 +920,7 @@ def decode_cell_cols(cell_col="cell"):
 
 def tile_features(
     features: DataFrame, min_zoom: int, max_zoom: int, salt: int = 16,
-    exact: bool = True, max_ids_per_tile: int = 1024, split: bool = True,
+    exact: bool = True, max_ids_per_tile: int = 1024, split="fused",
 ) -> DataFrame:
     """(z, x, y, n_features, osm_ids, n_overflow) — the packed tile
     table.  `n_features` is the EXACT per-tile feature count;

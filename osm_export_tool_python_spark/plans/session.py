@@ -91,6 +91,24 @@ def default_session(master=None, app_name="spark-osm-export", shuffle_partitions
         # the themed-export pipeline (9s vs 21s) plus far lower variance,
         # because hundreds of near-empty tasks disappear
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Join strategy (guide-standard baseline, not a local[32] trick):
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions fit (skips both sorts), let AQE rewrite
+        # SMJ→SHJ at runtime when every post-shuffle partition is small,
+        # and raise the broadcast gate from 10 MB to 64 MB — parquet
+        # scan estimates are compressed-file-size-based, so a 10 MB gate
+        # refuses e.g. the 27 MB orders side of the revenue join whose
+        # built hash relation is well within executor budgets; 64 MB of
+        # compressed build side is conservative for any executor this
+        # engine targets (the guide's own guidance: a few hundred MB
+        # broadcast is routinely fine).  Measured on the driver-scale
+        # revenue join (6 M × 1.5 M rows): SMJ 2 exchanges → BHJ 0.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 << 20),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: driver == executor; the 1g default heap thrashes

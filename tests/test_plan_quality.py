@@ -176,12 +176,16 @@ def test_relation_assembly_single_python_stage(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_exact_tile_assignment_default_union_shape(spark):
-    """The DEFAULT exact assignment is the union shape: the Arrow
-    kernel sits behind a Filter so it sees only the straddler subset,
-    the single-tile branch is pure codegen'd Column work (no Python),
-    and there is no row-at-a-time Python anywhere.  Measured 19× over
-    the one-scan CASE shape (BENCH/AB_SHAPE.json)."""
+def test_exact_tile_assignment_default_fused_shape(spark):
+    """The DEFAULT exact assignment (r6) is the FUSED shape: ONE scan,
+    no Union, exactly one Arrow Python stage whose inputs are NULLed
+    for single-tile rows (Arrow payload stays proportional to the
+    straddler subset), and no row-at-a-time Python.  The union shape
+    scanned its input twice and its branch-divergent column pruning
+    defeated ReuseExchange on the feeding repartition exchange
+    (stage-level profile: exchange map side + dedup aggregate each run
+    twice); fused computes them once — measured ~1.5x on the isolated
+    bench-scale tile stage (OPTIMIZATION_r06.md)."""
     from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
     from osm_export_tool_python_spark.operators.tiles import with_tile_cells_exact
 
@@ -191,6 +195,25 @@ def test_exact_tile_assignment_default_union_shape(spark):
     ]
     df = spark.createDataFrame(rows, FEATURE_SCHEMA)
     out = with_tile_cells_exact(df, 4, 6)
+    plan = _plan(out)
+    assert "Union" not in plan  # one scan, no second branch
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized only
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_exact_tile_assignment_union_shape(spark):
+    """split=True keeps the r5 union shape: the Arrow kernel sits
+    behind a Filter so it sees only the straddler subset, the
+    single-tile branch is pure codegen'd Column work (no Python)."""
+    from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
+    from osm_export_tool_python_spark.operators.tiles import with_tile_cells_exact
+
+    rows = [
+        (1, "node", "point", {"a": "1"}, [13.4], [52.5], [0, 1], [0, 1]),
+        (2, "way", "line", {"a": "1"}, [-20.3, 31.7], [10.1, 44.9], [0, 2], [0, 1]),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 4, 6, split=True)
     plan = _plan(out)
     assert "Union" in plan
     assert "BatchEvalPython" not in plan  # Arrow-vectorized only

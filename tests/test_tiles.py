@@ -553,9 +553,41 @@ def test_union_shape_matches_case_shape_fuzz(spark):
     rows.append((osm_id, "way", None, {"a": "1"},
                  [-20.3, 31.7], [10.1, 44.9], [0, 2], [0, 1]))
     df = spark.createDataFrame(rows, FEATURE_SCHEMA)
-    assert _collect_rows(df, 4, 8, split=True) == _collect_rows(
-        df, 4, 8, split=False
-    )
+    case_rows = _collect_rows(df, 4, 8, split=False)
+    assert _collect_rows(df, 4, 8, split=True) == case_rows
+    # the r6 FUSED default must reproduce the same multiset too
+    assert _collect_rows(df, 4, 8, split="fused") == case_rows
+
+
+def test_fused_shape_single_scan_plan(spark):
+    """The fused default's plan: no Union (one scan), exactly one
+    ArrowEvalPython whose inputs are NULLed for single-tile rows."""
+    rows = [_pt(1, 10.0, 20.0), _line(2, [(-20.3, 10.1), (31.7, 44.9)])]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = with_tile_cells_exact(df, 4, 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Union" not in plan
+
+
+def test_strip_under_default_shape_warns(spark):
+    """strip=True is only honored by the CASE shape; asking for it
+    under the fused/union shapes warns (VERDICT r5 wart: the knob was
+    silently ignored) and still returns the exact cell set."""
+    import warnings
+
+    rows = [_line(1, [(10.0, 20.0), (10.5, 20.0)])]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = with_tile_cells_exact(df, 6, 6, strip=True)
+        out.collect()
+    assert any("strip" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with_tile_cells_exact(df, 6, 6, strip=True, split=False).collect()
+    assert not any("strip" in str(x.message) for x in w)
 
 
 def test_union_shape_single_arrow_node_over_subset(spark):
