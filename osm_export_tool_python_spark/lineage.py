@@ -87,15 +87,26 @@ def eager_parquet_checkpoint(df: DataFrame, path: str | None = None) -> DataFram
 
 
 # Auto store selection threshold (bytes of Catalyst's optimizer size
-# estimate).  The two stores win in different regimes, measured on the
-# same pipeline with identical outputs: parquet is 15% faster at 24 M
-# docs and scales 0.86 vs 0.52 from 2→8 cores (BENCH/AB_CKPT.json,
+# estimate — for a parquet scan this is roughly COMPRESSED on-disk
+# bytes, while the crossover was measured on the decoded row width;
+# the decode expands the input ~2.5×, which the threshold bakes in).
+# The two stores win in different regimes, measured on the same
+# pipeline with identical outputs: parquet is 15% faster at 24 M docs
+# and scales 0.86 vs 0.52 from 2→8 cores (BENCH/AB_CKPT.json,
 # BENCH/DECODE_AB.json), but costs ~1 s of write+re-read latency per
 # materialization that localCheckpoint doesn't pay — which DOMINATES on
 # small interactive batches where the whole pipeline is seconds.  Same
 # shape of decision as Spark's own autoBroadcastJoinThreshold: pick the
 # physical strategy from the plan's size estimate.
-AUTO_PARQUET_THRESHOLD = 256 << 20
+#
+# r6: lowered 256 MiB → 64 MiB.  At a 120 MiB compressed input (the
+# driver-scale bench batch) the row store is already ~300 MiB decoded
+# and the parquet store measured faster end-to-end (interleaved full
+# pipeline: 11.74 vs 12.85 s min-of-3, medians 13.1 vs 15.7 —
+# OPTIMIZATION_r06.md); at a 12 MiB input (sf0.1) localCheckpoint
+# still wins (~1 s/materialization parquet latency × 3 would eat the
+# seconds-long run), and 64 MiB keeps that regime on the row store.
+AUTO_PARQUET_THRESHOLD = 64 << 20
 
 # Catalyst reports defaultSizeInBytes (~Long.MaxValue) when a plan node
 # has no real statistics (LogicalRDD-backed frames).  Estimates at or

@@ -120,11 +120,20 @@ def wkb_point_decode(col):
 
 
 #: Use the pure-Column (JVM codegen) WKB decoder instead of the pandas
-#: UDF.  Same bit-exact doubles (tests/test_synth_decode.py asserts
-#: equality); the Column path removes the decode scan's only Python
-#: crossing — no Arrow round-trip of the media hex strings — which is
-#: the hot path at 10^12 docs.
-WKB_DECODE_JVM = True
+#: UDF.  Same bit-exact doubles either way (tests/test_synth_decode.py
+#: asserts equality).  r6 default: FALSE — the conv/substring double
+#: reconstruction is the decode scan's hottest expression (~2/3 of
+#: decode CPU; 140 task-cpu-seconds at the 550k-doc driver scale), and
+#: the vectorized numpy decoder (one unhexlify + frombuffer per Arrow
+#: batch) measured consistently faster at every width tried:
+#: 0.79 vs 1.54 s at local[32]/550k docs, 1.89 vs 7.60 s at
+#: local[2]/550k docs, 0.60 vs 0.82 s at local[32]/55k docs
+#: (interleaved min-of-N noop timings, OPTIMIZATION_r06.md).  The
+#: Arrow crossing ships only the 42-char media hex of node rows and
+#: the pipeline already runs Python workers (clip kernel, relation
+#: stitcher), so the worker pool is warm.  Set True to pin the
+#: zero-Python-crossing Column path.
+WKB_DECODE_JVM = False
 
 
 def _le_double(col, start_byte):
