@@ -222,6 +222,7 @@ def run_explain(tag):
 
     docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
     _dump_plan(minhash_dedup(docs, threshold=0.8), "minhash_dedup", tag)
+    _dump_plan(dq.q_lsh_near_dup(spark, sf_dir), "lsh_near_dup", tag)
 
     emb = spark.read.parquet("%s/embeddings.parquet" % sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

@@ -50,6 +50,40 @@ def minhash_signature_md5(text_col="text", n_hashes: int = 8, shingle_n: int = 3
     return F.array(*[slot(i) for i in range(n_hashes)])
 
 
+def minhash_signature_md5_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, g array<string>) — the SAME md5 signatures as
+    `minhash_signature_md5`, computed by explode → groupBy-min instead
+    of per-row higher-order transforms.  The per-row form evaluates
+    n_hashes interpreted `transform` lambdas per document (higher-order
+    functions never reach codegen), which measured ~13 µs per md5 at
+    5 k docs; exploding shingles to rows puts the md5s and the min
+    aggregate inside whole-stage codegen with map-side combine — one
+    row per doc crosses the shuffle.  Values are identical: F.min over
+    the exploded shingle rows is the same lexicographic (binary) min
+    as array_min over the per-row transform results."""
+    from ..parallel import fan_out
+
+    df = fan_out(df, id_col)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
+    )
+    g = exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit("s%d|" % i), F.col("s")))).alias("h%d" % i)
+            for i in range(n_hashes)
+        ]
+    )
+    return g.select(
+        "id", F.array(*[F.col("h%d" % i) for i in range(n_hashes)]).alias("g")
+    )
+
+
 def _affine_params(n_hashes: int):
     """Deterministic (a, b) pairs for the universal-hash family
     h_i(x) = (a_i*x + b_i) mod 2^32 — SplitMix64-derived constants, a
@@ -745,11 +779,22 @@ def connected_components_star(
     Lineage is truncated with localCheckpoint every `checkpoint_every`
     rounds; non-convergence raises loudly (never silently-wrong
     labels)."""
+    # materialize the PAIR GRAPH exactly once: both `edges` (counted
+    # eagerly below) and `vertices` (consumed only by the final
+    # singleton anti-join) derive from it, and without this the
+    # vertices branch re-evaluates the caller's full pair pipeline —
+    # for the LSH near-dup graph that is the entire signature/band/
+    # verify cascade a second time (measured: the clustering query's
+    # wall was ~2× the pair query's for this reason alone)
+    pairs = pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    ).persist()
+    pairs.count()
+    id_a, id_b = "id_a", "id_b"
     vertices = (
         pairs.select(F.col(id_a).alias("id"))
         .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .persist()
     )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -795,9 +840,17 @@ def connected_components_star(
         selfs = vertices.join(members, "id", "left_anti").select(
             "id", F.col("id").alias("component")
         )
-        return members.union(selfs)
+        # the returned frame still reads the cached `pairs`/`edges`
+        # (via the vertices anti-join and the iteration chain whose
+        # persisted/checkpointed blocks the finally below releases);
+        # materialize it first so callers get a self-contained frame
+        # instead of silently re-running the whole cascade on first use
+        from ..lineage import eager_local_checkpoint
+
+        return eager_local_checkpoint(members.union(selfs))
     finally:
         edges.unpersist()
+        pairs.unpersist()
         vertices.unpersist()
 
 

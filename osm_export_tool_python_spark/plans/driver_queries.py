@@ -386,10 +386,12 @@ def q_lsh_near_dup(spark, sf_dir):
     the identical shape with a JVM-intrinsic hash.  Training-data op
     beyond hotosm reference scope (brief requirement)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(
-        F.col("doc_id").alias("id"),
-        D.minhash_signature_md5("text", n_hashes=8, shingle_n=3).alias("g"),
-    )
+    # r6: signatures via the explode → groupBy-min table form — the
+    # per-row minhash_signature_md5 Column evaluates 8 interpreted
+    # higher-order transforms per doc (~13 µs/md5); the table form
+    # runs the same md5s inside codegen'd hash aggregation (identical
+    # values — see minhash_signature_md5_table)
+    sig = D.minhash_signature_md5_table(docs, n_hashes=8, shingle_n=3)
     banded = sig.select(
         "id",
         F.explode(
@@ -409,7 +411,12 @@ def q_lsh_near_dup(spark, sf_dir):
     # ids ONLY through the band self-join (the widest shuffle carries
     # one short row per (doc, band)); shingle arrays join back onto the
     # deduped candidate pairs afterwards — the operators/dedup.py
-    # jaccard_verify shape
+    # jaccard_verify shape.  The banded table is repartitioned on the
+    # join key first so the signature pipeline sits below ONE exchange
+    # both self-join sides reuse (see lsh_candidate_pairs) instead of
+    # being computed per side.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(nparts, "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, "bucket")

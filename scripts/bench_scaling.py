@@ -1542,6 +1542,18 @@ best-of table above."""
         wneffs = [r["eff_probe_norm"] for r in pw["rounds"]
                   if r["eff_probe_norm"]]
         wide_best = max(wneffs or weffs)
+        # r6 (advisor item): gate MET on the MEDIAN probe-normalized
+        # efficiency, not the single best value across raw AND
+        # normalized — a round whose normalization factor dominates the
+        # result (e.g. a 4x probe correction) can no longer carry the
+        # verdict alone.  Rounds with no probe reading fall back to raw.
+        _gate_vals = sorted(wneffs or weffs)
+        wide_median = _gate_vals[len(_gate_vals) // 2]
+        _probe_slower_every_round = all(
+            r["jvm%d" % wb]["vm_probe"]["sha_1t_sec"]
+            > r["jvm%d" % wa]["vm_probe"]["sha_1t_sec"]
+            for r in pw["rounds"]
+        )
         paired_wide_note = f"""
 
 ### Paired-interleaved local[{wa}] / local[{wb}] (the brief's suggested levels)
@@ -1555,13 +1567,20 @@ The sandbox form of the rule names its example levels explicitly —
 {prows}
 
 Best per-round efficiency **{max(weffs):.3f}** raw{
-    ", **%.3f** probe-normalized" % max(wneffs) if wneffs else ""}
-(target ≥ 0.8: {"MET" if max(weffs + wneffs) >= 0.8 else "NOT met"}) —
+    ", **%.3f** probe-normalized" % max(wneffs) if wneffs else ""};
+MEDIAN probe-normalized **{wide_median:.3f}**
+(target ≥ 0.8 gated on the median: {
+    "MET" if wide_median >= 0.8 else "NOT met"}; a round whose large
+probe correction dominates its own reading cannot carry the verdict
+alone) —
 measured with the {wb}-core arm's heap BELOW per-core spec (80g cap =
 2.5g/core), i.e. the bias runs against the wide arm.
 
-Read the probe columns before the efficiencies: in every round the
-{wb}-core arm's in-child SINGLE-THREAD probe ran slower than the
+Read the probe columns before the efficiencies: in {
+    "every round" if _probe_slower_every_round else "most rounds"} the
+{wb}-core arm's in-child SINGLE-THREAD probe ran {
+    "slower" if _probe_slower_every_round else "slower or comparable"
+} relative to the
 {wa}-core arm's minutes earlier ({", ".join("%.3f→%.3f s" % (
     r["jvm%d" % wa]["vm_probe"]["sha_1t_sec"],
     r["jvm%d" % wb]["vm_probe"]["sha_1t_sec"]) for r in pw["rounds"])})
