@@ -446,6 +446,43 @@ def hamming_dist_col(a, b) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) — the SAME 64-bit simhash as `simhash_col`, computed by
+    explode → groupBy with 64 conditional-count aggregates instead of
+    64 per-row higher-order `filter` lambdas (interpreted; each lambda
+    re-walks the token-hash array).  Exploding tokens to rows hashes
+    each token ONCE and counts all 64 bit positions inside one
+    codegen'd hash aggregate with map-side combine — one row per doc
+    crosses the shuffle.  Zero-token docs are preserved by
+    explode_outer (NULL token → zero counts → sh = 0, exactly
+    simhash_col's value on an empty array)."""
+    from ..parallel import fan_out
+
+    df = fan_out(df, id_col)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("t")
+    )
+    h = F.xxhash64("t")
+    g = toks.groupBy("id").agg(
+        F.count("t").alias("n"),
+        *[
+            F.count(
+                F.when(
+                    F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, True
+                )
+            ).alias("c%d" % j)
+            for j in range(64)
+        ],
+    )
+    sh = None
+    for j in range(64):
+        bit = F.shiftleft((F.col("c%d" % j) * 2 > F.col("n")).cast("long"), j)
+        sh = bit if sh is None else sh.bitwiseOR(bit)
+    return g.select("id", sh.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -456,11 +493,11 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by simhash: block the 64-bit hash into n_blocks
     16-bit keys; a pair within hamming ≤ n_blocks-1 must agree on ≥1
     block (pigeonhole) — join per block, verify exact hamming."""
-    from ..parallel import fan_out
-
     bits = 64 // n_blocks
-    df = fan_out(df, id_col)
-    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    # table-form simhash (explode + codegen'd 64-bit-count aggregate,
+    # identical values to simhash_col — see simhash_table); fan-out of
+    # small inputs happens inside it
+    h = simhash_table(df, id_col, text_col)
     blocked = h.select(
         "id",
         "sh",
@@ -543,9 +580,23 @@ def _multiprobe_verify(base: DataFrame, n_planes: int, threshold: float) -> Data
     """Shared bucket-join + exact-cosine verify for sign sketches:
     probe the exact sketch plus every single-bit flip (misses only
     pairs whose sketches differ in ≥2 bits)."""
+    # the sketch expression (n_planes × dim literal products) feeds BOTH
+    # join sides (probes and exact); repartitioning `base` puts that
+    # computation below one canonical exchange both consumers reuse
+    # (same single-compute pattern as lsh_candidate_pairs — exchange
+    # reuse dedupes exchanges, not the compute above them)
+    # hoist each vector's norm to the per-ROW side: candidate pairs
+    # outnumber rows ~70:1 here, and cosine_sim_col re-aggregates BOTH
+    # norms per pair (interpreted higher-order sums).  sqrt(Σv²) is the
+    # same expression either way, so dot/(na·nb) is bit-identical.
+    base = base.withColumn(
+        "nv", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    base = _reuse_repartition(base, base, "id")
     probes = base.select(
         "id",
         "v",
+        "nv",
         F.explode(
             F.array(
                 F.col("sk"),
@@ -554,6 +605,11 @@ def _multiprobe_verify(base: DataFrame, n_planes: int, threshold: float) -> Data
         ).alias("bucket"),
     )
     exact = base.withColumnRenamed("sk", "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         probes.alias("a")
         .join(exact.alias("b"), "bucket")
@@ -561,7 +617,7 @@ def _multiprobe_verify(base: DataFrame, n_planes: int, threshold: float) -> Data
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_sim_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()

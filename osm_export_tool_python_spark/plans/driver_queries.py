@@ -554,9 +554,35 @@ def _simhash_expr(n_bits=16):
     return sim.cast("bigint")
 
 
+def _simhash_md5_table(docs, n_bits, out):
+    """(doc_id, <out>) — the SAME md5 simhash as `_simhash_expr`,
+    computed by explode → groupBy conditional-count aggregation: one
+    md5 per token inside codegen (the per-row form evaluates md5
+    INSIDE each of the n_bits interpreted `filter` lambdas — n_bits
+    md5s per token).  Zero-token docs survive via explode_outer (NULL
+    token → zero counts → simhash 0, the per-row form's value)."""
+    toks = docs.select("doc_id", F.explode_outer(T.tokens("text")).alias("t"))
+    md5 = F.md5("t")
+    g = toks.groupBy("doc_id").agg(
+        F.count("t").alias("n"),
+        *[
+            F.count(
+                F.when(F.substring(md5, j + 1, 1).isin(*_SIMHASH_HEX_HI), True)
+            ).alias("c%d" % j)
+            for j in range(n_bits)
+        ],
+    )
+    sim = F.lit(0)
+    for j in range(n_bits):
+        sim = sim + F.when(
+            F.col("c%d" % j) * 2 > F.col("n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return g.select("doc_id", sim.cast("bigint").alias(out))
+
+
 def q_doc_simhash16(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", _simhash_expr(16).alias("simhash16")
+    return _simhash_md5_table(
+        _t(spark, sf_dir, "documents"), 16, "simhash16"
     )
 
 
@@ -590,9 +616,11 @@ def q_simhash_dup_pairs(spark, sf_dir):
     a hamming filter return exactly the brute-force result — the scale
     shape (operators/dedup.py:simhash_near_dup_pairs) with zero recall
     loss."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _simhash_expr(32).alias("sh")
-    )
+    # r6: table-form simhash (one md5 per token, codegen'd counts —
+    # see _simhash_md5_table) and the blocks table repartitioned on
+    # the join key so the self-join's two sides reuse ONE simhash
+    # computation (exchange-reuse pattern, see lsh_candidate_pairs)
+    docs = _simhash_md5_table(_t(spark, sf_dir, "documents"), 32, "sh")
     blocks = docs.select(
         "doc_id",
         "sh",
@@ -605,6 +633,8 @@ def q_simhash_dup_pairs(spark, sf_dir):
             )
         ).alias("blk", "val"),
     )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = blocks.repartition(nparts, "blk", "val")
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, ["blk", "val"])
