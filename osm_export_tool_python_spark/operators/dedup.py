@@ -464,7 +464,10 @@ def simhash_table(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("t")
     )
-    h = F.xxhash64("t")
+    # xxhash64(NULL) returns the SEED (42), not NULL — without the
+    # null guard a zero-token doc's explode_outer placeholder row
+    # would vote the seed's bits into the counts (sh 42 instead of 0)
+    h = F.when(F.col("t").isNotNull(), F.xxhash64("t"))
     g = toks.groupBy("id").agg(
         F.count("t").alias("n"),
         *[

@@ -128,6 +128,55 @@ def test_simhash_identical_is_zero(spark):
     assert rows[0]["h"] == rows[1]["h"]
 
 
+def test_simhash_table_matches_column_form(spark):
+    """r6 internals change: simhash_table (explode → codegen'd 64-bit-
+    count aggregate) must reproduce simhash_col exactly, including the
+    zero-token and single-token edges."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, ""),
+            (4, "   "),
+            (5, "one"),
+            (6, "repeat repeat repeat repeat distinct"),
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", D.simhash_col().alias("h")).collect()
+    }
+    table_form = {r["id"]: r["sh"] for r in D.simhash_table(df).collect()}
+    assert col_form == table_form
+
+
+def test_minhash_md5_table_matches_column_form(spark):
+    """r6 internals change: minhash_signature_md5_table must reproduce
+    the per-row minhash_signature_md5 arrays exactly (lexicographic
+    mins over the same md5s), including short-doc single shingles."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "two words"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", D.minhash_signature_md5("text", n_hashes=8).alias("g")
+        ).collect()
+    }
+    table_form = {
+        r["id"]: r["g"]
+        for r in D.minhash_signature_md5_table(df, n_hashes=8).collect()
+    }
+    assert col_form == table_form
+
+
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(3)
     base = rng.standard_normal(16)
