@@ -1543,12 +1543,24 @@ best-of table above."""
                   if r["eff_probe_norm"]]
         wide_best = max(wneffs or weffs)
         # r6 (advisor item): gate MET on the MEDIAN probe-normalized
-        # efficiency, not the single best value across raw AND
+        # efficiency (standard median — middle-pair average for even
+        # round counts), not the single best value across raw AND
         # normalized — a round whose normalization factor dominates the
         # result (e.g. a 4x probe correction) can no longer carry the
         # verdict alone.  Rounds with no probe reading fall back to raw.
         _gate_vals = sorted(wneffs or weffs)
-        wide_median = _gate_vals[len(_gate_vals) // 2]
+        _m = len(_gate_vals)
+        wide_median = (
+            _gate_vals[_m // 2]
+            if _m % 2
+            else (_gate_vals[_m // 2 - 1] + _gate_vals[_m // 2]) / 2.0
+        )
+        _probe_dominated = [
+            i + 1
+            for i, r in enumerate(pw["rounds"])
+            if r["eff_probe_norm"] and r["eff_raw"]
+            and r["eff_probe_norm"] / r["eff_raw"] > 2.0
+        ]
         _probe_slower_every_round = all(
             r["jvm%d" % wb]["vm_probe"]["sha_1t_sec"]
             > r["jvm%d" % wa]["vm_probe"]["sha_1t_sec"]
@@ -1572,7 +1584,10 @@ MEDIAN probe-normalized **{wide_median:.3f}**
 (target ≥ 0.8 gated on the median: {
     "MET" if wide_median >= 0.8 else "NOT met"}; a round whose large
 probe correction dominates its own reading cannot carry the verdict
-alone) —
+alone{
+    " — round(s) %s are probe-DOMINATED (normalization > 2× raw), read"
+    " them against the independent sequential and weak-scaling"
+    " readings" % _probe_dominated if _probe_dominated else ""}) —
 measured with the {wb}-core arm's heap BELOW per-core spec (80g cap =
 2.5g/core), i.e. the bias runs against the wide arm.
 
