@@ -333,3 +333,51 @@ def test_invalid_multiring_aoi_falls_back_uncut(spark):
     )
     assert set(got) == {1, 3, 4}
     assert got[4]["xs"] == [-2.0, 2.0]
+
+
+def test_fused_shape_matches_union_shape(spark):
+    """CLIP_SHAPE='fused' (single-branch NULL-gated kernel) must emit
+    exactly the union shape's rows — geometry bit-identical (same numpy
+    kernel) — across inside/outside/boundary features, a concave AOI,
+    and the invalid-AOI keep-uncut fallback."""
+    from osm_export_tool_python_spark.operators import clip as clipmod
+
+    rows = [
+        _pt(1, 5.0, 5.0),
+        _pt(2, 20.0, 20.0),
+        _pt(3, 10.0, 5.0),  # on the boundary
+        _line(4, [(1.0, 1.0), (2.0, 2.0)]),
+        _line(5, [(-5.0, 5.0), (15.0, 5.0)]),  # crossing → cut
+        _line(6, [(20.0, 0.0), (30.0, 0.0)]),  # outside → dropped
+        _poly(7, [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)]),
+        _poly(8, [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)]),  # cut
+        _poly(9, [(-5.0, -5.0), (25.0, -5.0), (25.0, 25.0), (-5.0, 25.0)]),  # swallows AOI
+    ]
+    aois = [
+        AOI([SQUARE], cover_zoom=8),
+        AOI([np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])], cover_zoom=8),
+        AOI([np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]])],
+            cover_zoom=8),  # bowtie: clip_polys is None fallback
+    ]
+
+    def canon(df):
+        out = clip_features(df, a).collect()
+        return sorted(
+            (r["osm_id"], r["geom_type"], tuple(r["xs"]), tuple(r["ys"]),
+             tuple(r["ring_offsets"]), tuple(r["part_offsets"]))
+            for r in out
+        )
+
+    from osm_export_tool_python_spark.operators.assemble import FEATURE_SCHEMA
+
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    old = clipmod.CLIP_SHAPE
+    try:
+        for a in aois:
+            clipmod.CLIP_SHAPE = "union"
+            want = canon(df)
+            clipmod.CLIP_SHAPE = "fused"
+            got = canon(df)
+            assert got == want and len(want) > 0
+    finally:
+        clipmod.CLIP_SHAPE = old
