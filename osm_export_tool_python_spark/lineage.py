@@ -99,13 +99,16 @@ def eager_parquet_checkpoint(df: DataFrame, path: str | None = None) -> DataFram
 # shape of decision as Spark's own autoBroadcastJoinThreshold: pick the
 # physical strategy from the plan's size estimate.
 #
-# r6: lowered 256 MiB → 64 MiB.  At a 120 MiB compressed input (the
-# driver-scale bench batch) the row store is already ~300 MiB decoded
-# and the parquet store measured faster end-to-end (interleaved full
-# pipeline: 11.74 vs 12.85 s min-of-3, medians 13.1 vs 15.7 —
-# OPTIMIZATION_r06.md); at a 12 MiB input (sf0.1) localCheckpoint
-# still wins (~1 s/materialization parquet latency × 3 would eat the
-# seconds-long run), and 64 MiB keeps that regime on the row store.
+# r6: lowered 256 MiB → 64 MiB.  The driver-scale bench batch (550k
+# docs) is 24 MB compressed so auto keeps it on localCheckpoint, and
+# an ABBA-ordered store A/B at exactly that batch confirms local is
+# right there: local won 5/5 clean pairs, min 10.91 vs parquet 11.23,
+# med 11.34 vs 12.37 (scripts/exp_ckpt_store.py, probe 0.218) — the
+# ~1 s/materialization parquet write+re-read latency still dominates
+# a seconds-long run.  Parquet's proven regime is the 24M-doc scale
+# (the 0.86-vs-0.52 scaling rows above, GB-class decoded row stores);
+# 64 MiB of compressed scan ≈ 0.5-1 GB decoded, which is where that
+# regime starts.
 AUTO_PARQUET_THRESHOLD = 64 << 20
 
 # Catalyst reports defaultSizeInBytes (~Long.MaxValue) when a plan node
